@@ -1,13 +1,73 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.audio.{ClipTable, Oracles, Rules}
+import graft.operators.Pipeline
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query operates over the clip table derived deterministically from
+  * the driver's `events` parquet (ClipTable.CLIPS_SQL, executed verbatim by
+  * both Spark and the DuckDB oracle) or over the driver's documents /
+  * embeddings tables.
+  */
 object SparkEntry {
+
+  private def clips(s: SparkSession, dir: String): DataFrame =
+    ClipTable.clips(s, dir)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Pipeline.fullPipeline(spark, clips(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1 gate filter (reference processor.go:280-296)
+    "f1_gate" -> ((s, dir) => clips(s, dir).filter(Pipeline.gate)),
+    // X1 explode + X3 tolerant JSON decode + F2 + M1-M11 + E2 + R2 union
+    "full_pipeline" -> ((s, dir) => Pipeline.fullPipeline(s, clips(s, dir))),
+    // F2 status filter (fail+error) over the transformed events
+    "f2_status_filter" -> ((s, dir) =>
+      Pipeline.events(s, clips(s, dir), Seq("fail", "error"))),
+    // R2: all-matches-filtered clips pass through (filter = pass only)
+    "r2_passthrough" -> ((s, dir) =>
+      Pipeline.fullPipeline(s, clips(s, dir), Seq("pass"))),
+    // X3 tolerant-decode accounting (malformed payloads skipped, not fatal)
+    "x3_tolerant_decode" -> ((s, dir) => {
+      val m = clips(s, dir).filter(Pipeline.gate)
+        .join(broadcast(Rules.df(s)), expr("contains(transcript, pattern)"))
+      m.groupBy("rule_id").agg(
+        count(lit(1)).as("matched_total"),
+        sum(when(Pipeline.decodeOk, 1L).otherwise(0L)).as("decoded_total"),
+        sum(when(Pipeline.decodeOk, 0L).otherwise(1L)).as("skipped_total"))
+    }),
+    // A1 conservation-law counters
+    "a1_counters" -> ((s, dir) => Pipeline.counters(s, clips(s, dir))),
+    // E2 clip_id-derived event key
+    "e2_event_key" -> ((s, dir) =>
+      clips(s, dir).select(col("clip_id"),
+        Pipeline.eventKey(col("clip_id")).as("event_key")).distinct()),
+    // E1 owner-reference workload extraction (higher-order array functions)
+    "e1_owner_refs" -> ((s, dir) => {
+      val withRefs = ClipTable.withOwnerRefs(clips(s, dir))
+      val wl = Pipeline.firstWorkloadRef(col("owner_refs"))
+      withRefs.select(col("clip_id"), col("tenant_id"),
+        wl.getField("kind").as("workload_kind"),
+        wl.getField("name").as("workload_name"))
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "f1_gate" -> Oracles.gateSql,
+    "full_pipeline" -> Oracles.fullPipelineSql(Nil),
+    "f2_status_filter" -> Oracles.eventsSql(Seq("fail", "error")),
+    "r2_passthrough" -> Oracles.fullPipelineSql(Seq("pass")),
+    "x3_tolerant_decode" -> Oracles.tolerantDecodeSql,
+    "a1_counters" -> Oracles.countersSql,
+    "e2_event_key" -> Oracles.eventKeySql,
+    "e1_owner_refs" -> Oracles.ownerRefsSql,
+  )
 }

@@ -1,0 +1,86 @@
+package graft.audio
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** A transcript rule — the graft analog of the reference's `results[]`
+  * payload (an array of JSON strings, each decoded into a typed Result;
+  * reference: /root/reference/internal/openreports/processor.go:322-340).
+  *
+  * `pattern` is matched against the clip transcript (substring match);
+  * `payloadJson` carries the Result-shaped payload and is decoded with
+  * tolerant semantics (malformed JSON ⇒ that match is skipped, the rest of
+  * the clip's matches survive — processor.go:229-241).
+  */
+final case class RuleDef(ruleId: String, pattern: String, payloadJson: String)
+
+object Rules {
+
+  private def payload(message: String, policy: String, rule: String,
+                      severity: String, category: String, result: String,
+                      tsOffsetS: Long): String =
+    s"""{"message":"$message","policy":"$policy","rule":"$rule","severity":"$severity","category":"$category","result":"$result","ts_offset_s":$tsOffsetS}"""
+
+  /** Static rule set. Edge cases mirror the reference test matrix
+    * (processor_test.go:387-441): empty severity (⇒ finding_severity unset,
+    * risk 0.0), unknown severity (⇒ MEDIUM but risk 0.0), case-sensitive
+    * "Critical" (⇒ MEDIUM, 0.0), empty rule name (⇒ description "unknown",
+    * title without " - "), empty policy/category (⇒ fields unset), and one
+    * malformed payload (tolerant-decode skip). */
+  val all: Seq[RuleDef] = Seq(
+    RuleDef("r-access-denied", "access denied",
+      payload("Access denied detected", "access-policy", "deny-rule", "critical", "RBAC", "fail", 60L)),
+    RuleDef("r-priv-esc", "privilege escalation",
+      payload("Privilege escalation attempt", "escalation-policy", "priv-rule", "high", "PRIVESC", "fail", 120L)),
+    RuleDef("r-login-ok", "login ok",
+      payload("Login check passed", "login-policy", "login-rule", "low", "AUTH", "pass", 0L)),
+    RuleDef("r-skip", "policy skipped",
+      payload("Policy evaluation skipped", "skip-policy", "", "medium", "AUDIT", "skip", 30L)),
+    RuleDef("r-err-empty", "user 1",
+      payload("Evaluation error", "", "err-rule", "", "", "error", 45L)),
+    RuleDef("r-junk-sev", "user 2",
+      payload("Junk severity finding", "junk-policy", "junk-rule", "SuperBad", "JUNK", "fail", 15L)),
+    RuleDef("r-case-sev", "user 3",
+      payload("Case sensitive severity", "case-policy", "case-rule", "Critical", "CASE", "pass", 0L)),
+    // Malformed on purpose: pins the tolerant-decode skip semantics.
+    RuleDef("r-malformed", "user 4", """{"message": malformed-json"""),
+  )
+
+  /** Schema of the decoded payload (analog of the reference Result struct). */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("message", StringType),
+    StructField("policy", StringType),
+    StructField("rule", StringType),
+    StructField("severity", StringType),
+    StructField("category", StringType),
+    StructField("result", StringType),
+    StructField("ts_offset_s", LongType),
+  ))
+
+  /** Small dimension → always broadcast-joined against the clip stream. */
+  def df(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    all.map(r => (r.ruleId, r.pattern, r.payloadJson))
+      .toDF("rule_id", "pattern", "payload_json")
+  }
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The same rule set as a DuckDB-compatible VALUES CTE body, generated
+    * from the single source of truth above so the oracle can never drift. */
+  def valuesSql: String =
+    all.map(r => s"(${sq(r.ruleId)}, ${sq(r.pattern)}, ${sq(r.payloadJson)})")
+      .mkString("SELECT * FROM (VALUES\n  ", ",\n  ", "\n) AS t(rule_id, pattern, payload_json)")
+
+  /** Valid status-filter values (reference config.go: pass/fail/error/skip,
+    * case-sensitive; internal/openreports/config.go:18-34). */
+  val validStatuses: Set[String] = Set("pass", "fail", "error", "skip")
+
+  /** C1 config validation: statuses outside the valid set are rejected,
+    * case-sensitively. Empty filter ⇒ keep all. */
+  def validateStatusFilter(filter: Seq[String]): Either[String, Seq[String]] = {
+    val bad = filter.filterNot(validStatuses.contains)
+    if (bad.nonEmpty) Left(s"invalid status_filter values: ${bad.mkString(",")} (valid: ${validStatuses.mkString(",")})")
+    else Right(filter)
+  }
+}
