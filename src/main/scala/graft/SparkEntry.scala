@@ -48,6 +48,19 @@ object SparkEntry {
     "e2_event_key" -> ((s, dir) =>
       clips(s, dir).select(col("clip_id"),
         Pipeline.eventKey(col("clip_id")).as("event_key")).distinct()),
+    // Custom Catalyst expressions: pcm_synth + pcm_decode round-trip; the
+    // decoded sample count is oracle-checkable arithmetically from
+    // (sr_hz, dur_ms, codec). SNR invariant is pinned in PcmSpec.
+    "pcm_decode_meta" -> ((s, dir) => {
+      graft.functions.AudioFunctions.register(s)
+      import graft.functions.AudioFunctions._
+      clips(s, dir)
+        .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+        .withColumn("pcm", pcm_decode(col("bytes"), col("codec")))
+        .select(col("clip_id"), col("codec"),
+          octet_length(col("bytes")).cast("bigint").as("bytes_len"),
+          size(col("pcm")).cast("bigint").as("n_samples"))
+    }),
     // E1 owner-reference workload extraction (higher-order array functions)
     "e1_owner_refs" -> ((s, dir) => {
       val withRefs = ClipTable.withOwnerRefs(clips(s, dir))
@@ -69,5 +82,13 @@ object SparkEntry {
     "a1_counters" -> Oracles.countersSql,
     "e2_event_key" -> Oracles.eventKeySql,
     "e1_owner_refs" -> Oracles.ownerRefsSql,
+    "pcm_decode_meta" -> (ClipTable.oraclePrelude + """
+SELECT clip_id, codec,
+  CASE WHEN codec = 'pcm_s16le' THEN 2 * ((CAST(sr_hz AS BIGINT) * dur_ms) // 1000)
+       WHEN codec = 'wav' THEN 44 + 2 * ((CAST(sr_hz AS BIGINT) * dur_ms) // 1000)
+  END AS bytes_len,
+  CASE WHEN codec IN ('pcm_s16le','wav') THEN (CAST(sr_hz AS BIGINT) * dur_ms) // 1000
+  END AS n_samples
+FROM clips"""),
   )
 }

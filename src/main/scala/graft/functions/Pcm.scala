@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Pure-JVM PCM synthesis/decoding for the audio graft. Codecs supported:
+  * `pcm_s16le` (raw 16-bit little-endian mono) and `wav` (RIFF container
+  * around the same PCM). Anything else (e.g. the deliberately-unsupported
+  * `opus-stub`) returns null — the gate filter's pass-through path.
+  *
+  * The per-row invariant (BASELINE.json input_hint): decode(synth(x)) must
+  * be allclose to the reference float signal at SNR ≥ 30 dB; 16-bit
+  * quantization at amplitude 0.5 yields ~90 dB, comfortably above.
+  */
+object PcmCodec {
+  val SupportedCodecs: Set[String] = Set("pcm_s16le", "wav")
+
+  def sampleCount(srHz: Int, durMs: Int): Int = (srHz.toLong * durMs / 1000L).toInt
+
+  /** Reference float signal: sine at `freqHz`, amplitude 0.5 (FIXTURES §1). */
+  def sine(freqHz: Double, srHz: Int, durMs: Int): Array[Float] = {
+    val n = sampleCount(srHz, durMs)
+    val out = new Array[Float](n)
+    val w = 2.0 * math.Pi * freqHz / srHz
+    var i = 0
+    while (i < n) { out(i) = (0.5 * math.sin(w * i)).toFloat; i += 1 }
+    out
+  }
+
+  def toPcm16(signal: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte](signal.length * 2)
+    var i = 0
+    while (i < signal.length) {
+      val s = math.max(-32768, math.min(32767, math.round(signal(i) * 32767f))).toShort
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  def wrapWav(pcm: Array[Byte], srHz: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("ASCII"))
+      .put("fmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(srHz).putInt(srHz * 2).putShort(2).putShort(16)
+      .put("data".getBytes("ASCII")).putInt(pcm.length)
+      .put(pcm)
+    out.array()
+  }
+
+  /** Deterministic clip bytes per FIXTURES §1; null for unsupported codec. */
+  def synth(freqHz: Double, srHz: Int, durMs: Int, codec: String): Array[Byte] =
+    codec match {
+      case "pcm_s16le" => toPcm16(sine(freqHz, srHz, durMs))
+      case "wav"       => wrapWav(toPcm16(sine(freqHz, srHz, durMs)), srHz)
+      case _           => null
+    }
+
+  private def pcm16ToFloats(bytes: Array[Byte], off: Int, len: Int): Array[Float] = {
+    val n = len / 2
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val lo = bytes(off + 2 * i) & 0xff
+      val hi = bytes(off + 2 * i + 1)
+      out(i) = ((hi << 8) | lo).toShort / 32768f
+      i += 1
+    }
+    out
+  }
+
+  /** Decode clip bytes to float PCM; null for unsupported codec or
+    * malformed container (tolerant semantics, like the JSON decode). */
+  def decode(bytes: Array[Byte], codec: String): Array[Float] = codec match {
+    case "pcm_s16le" if bytes != null => pcm16ToFloats(bytes, 0, bytes.length)
+    case "wav" if bytes != null && bytes.length >= 44 &&
+        new String(bytes, 0, 4, "ASCII") == "RIFF" =>
+      // walk RIFF chunks from offset 12 to the data chunk
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var res: Array[Float] = null
+      while (res == null && pos + 8 <= bytes.length) {
+        val id = new String(bytes, pos, 4, "ASCII")
+        val size = bb.getInt(pos + 4)
+        if (id == "data" && pos + 8 + size <= bytes.length)
+          res = pcm16ToFloats(bytes, pos + 8, size)
+        else pos += 8 + size + (size & 1)
+      }
+      res
+    case _ => null
+  }
+
+  /** Signal-to-noise ratio in dB between a reference signal and a decode. */
+  def snrDb(ref: Array[Float], got: Array[Float]): Double = {
+    require(ref.length == got.length, s"length mismatch ${ref.length} vs ${got.length}")
+    var sig = 0.0; var err = 0.0; var i = 0
+    while (i < ref.length) {
+      sig += ref(i).toDouble * ref(i)
+      val d = ref(i).toDouble - got(i)
+      err += d * d
+      i += 1
+    }
+    if (err == 0) Double.PositiveInfinity else 10.0 * math.log10(sig / err)
+  }
+}
+
+/** Catalyst expression: pcm_synth(freq_hz, sr_hz, dur_ms, codec) → binary.
+  * Deterministic (replay-stable), null-on-unsupported-codec. */
+case class PcmSynth(children: Seq[Expression]) extends Expression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    val freq = vs(0) match {
+      case d: java.lang.Double => d.doubleValue(); case i: java.lang.Integer => i.doubleValue()
+      case l: java.lang.Long => l.doubleValue(); case f: java.lang.Float => f.doubleValue()
+      case x => x.toString.toDouble
+    }
+    PcmCodec.synth(freq, vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Int], vs(3).toString)
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Catalyst expression: pcm_decode(bytes, codec) → array<float>.
+  * The north rule's registered decode expression (SURVEY §2.2 UDF surface). */
+case class PcmDecode(left: Expression, right: Expression) extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val b = left.eval(input)
+    val c = right.eval(input)
+    if (b == null || c == null) return null
+    val decoded = PcmCodec.decode(b.asInstanceOf[Array[Byte]], c.toString)
+    if (decoded == null) null else ArrayData.toArrayData(decoded)
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
+object AudioFunctions {
+  /** Column builders resolve through the function registry at analysis
+    * time, so callers must have run [[register]] on the session first —
+    * every engine entry point (SparkEntry/Verify/Bench/streaming jobs)
+    * does. Spark 4's Column is API-agnostic and no longer exposes a public
+    * Expression constructor; registry resolution is the supported path. */
+  def pcm_synth(freqHz: Column, srHz: Column, durMs: Column, codec: Column): Column =
+    org.apache.spark.sql.functions.call_function("pcm_synth", freqHz, srHz, durMs, codec)
+
+  def pcm_decode(bytes: Column, codec: Column): Column =
+    org.apache.spark.sql.functions.call_function("pcm_decode", bytes, codec)
+
+  /** SQL registration so `spark.sql("... pcm_decode(bytes, codec) ...")`
+    * works (SparkSessionExtensions-style function injection). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pcm_synth", exprs => PcmSynth(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pcm_decode", exprs => PcmDecode(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  /** The FIXTURES §1 frequency rule: 220 + (i % 16)·55 Hz. */
+  def clipFreq(eventId: Column): Column =
+    org.apache.spark.sql.functions.lit(220.0) + (eventId % 16).cast("double") * 55.0
+}
