@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.audio.{ClipTable, Oracles, Rules}
-import graft.operators.Pipeline
+import graft.operators.{Cep, IntervalJoin, Pipeline, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -69,6 +69,20 @@ object SparkEntry {
         wl.getField("kind").as("workload_kind"),
         wl.getField("name").as("workload_name"))
     }),
+    // North-rule window aggregates keyed by the clip_id-derived event key
+    "w_tumbling" -> ((s, dir) =>
+      Windows.tumbling(Pipeline.events(s, clips(s, dir)))),
+    "w_sliding" -> ((s, dir) =>
+      Windows.sliding(Pipeline.events(s, clips(s, dir)))),
+    "w_session" -> ((s, dir) =>
+      Windows.session(Pipeline.events(s, clips(s, dir)))),
+    // A-then-B-within-T sequence detection (batch form of the CEP machine)
+    "cep_sequence" -> ((s, dir) =>
+      Cep.detectBatch(Pipeline.events(s, clips(s, dir)))),
+    // Stream-stream interval join, batch form (events ⋈ rule activations)
+    "j_interval" -> ((s, dir) =>
+      IntervalJoin.join(Pipeline.events(s, clips(s, dir)),
+        IntervalJoin.activations(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,5 +104,11 @@ SELECT clip_id, codec,
   CASE WHEN codec IN ('pcm_s16le','wav') THEN (CAST(sr_hz AS BIGINT) * dur_ms) // 1000
   END AS n_samples
 FROM clips"""),
+    "w_tumbling" -> Oracles.withEvents(Windows.tumblingSql),
+    "w_sliding" -> Oracles.withEvents(Windows.slidingSql),
+    "w_session" -> Oracles.withEvents(Windows.sessionSql),
+    "cep_sequence" -> Oracles.withEvents(Cep.detectSql()),
+    "j_interval" -> (Oracles.prelude +
+      s", ev AS (${Oracles.eventsSelect(Nil)}),\n${IntervalJoin.activationsSqlDuck.trim}\n${IntervalJoin.joinSqlDuck}"),
   )
 }

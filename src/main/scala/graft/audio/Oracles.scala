@@ -97,6 +97,11 @@ WHERE NOT EXISTS (SELECT 1 FROM ev e WHERE e.clip_id = c.clip_id)"""
   def eventsSql(allowed: Seq[String]): String =
     prelude + eventsSelect(allowed)
 
+  /** Prelude + the unfiltered transformed-events CTE (`ev`), for window /
+    * join / CEP oracles that consume the event stream. */
+  def withEvents(body: String): String =
+    prelude + s",\nev AS (${eventsSelect(Nil)})\n" + body
+
   val gateSql: String =
     ClipTable.oraclePrelude +
       """SELECT clip_id, sr_hz, dur_ms, codec, transcript, event_time, tenant_id, event_id

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-interval join between the transformed clip-event stream and a
+  * rolling rule-activation stream (north rule: "watermarked stream-stream
+  * stateful joins between the clip stream and a rolling transcript-rule
+  * stream"). This is the batch form used by the oracle-checked query; the
+  * watermarked streaming form lives in graft.streaming.
+  *
+  * The activation side is derived deterministically from `events` (every
+  * 97th event activates one of four rules), so the oracle can rebuild it.
+  * Scale note: the activation stream is sparse (~1% of events); Spark picks
+  * a broadcast hash join for it at bench scale, with the range predicate
+  * applied post-join — exactly what we want, no sort-merge shuffle.
+  */
+object IntervalJoin {
+
+  val WithinS = 3600L
+
+  def activations(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql("""
+      SELECT CASE event_id % 4 WHEN 0 THEN 'r-access-denied'
+                               WHEN 1 THEN 'r-priv-esc'
+                               WHEN 2 THEN 'r-login-ok'
+                               ELSE 'r-skip' END AS rule_id,
+             ts AS active_from,
+             event_id AS act_id
+      FROM events WHERE event_id % 97 = 0""")
+  }
+
+  /** events ⋈ activations on rule equality + |Δt| ≤ WithinS. */
+  def join(events: DataFrame, acts: DataFrame): DataFrame = {
+    def us(c: String) = unix_micros(col(c).cast("timestamp_ltz"))
+    events.join(broadcast(acts), Seq("rule_id"))
+      .filter(abs(us("event_time") - us("active_from")) <= WithinS * 1000000L)
+      .select(col("rule_id"), col("clip_id"), col("act_id"),
+        us("event_time").as("ev_us"),
+        us("active_from").as("act_us"))
+  }
+
+  val activationsSqlDuck: String = """
+acts AS (
+  SELECT CASE event_id % 4 WHEN 0 THEN 'r-access-denied'
+                           WHEN 1 THEN 'r-priv-esc'
+                           WHEN 2 THEN 'r-login-ok'
+                           ELSE 'r-skip' END AS rule_id,
+         ts AS active_from,
+         event_id AS act_id
+  FROM events WHERE event_id % 97 = 0
+)"""
+
+  val joinSqlDuck: String = s"""
+SELECT e.rule_id, e.clip_id, a.act_id,
+       epoch_us(e.event_time) AS ev_us,
+       epoch_us(a.active_from) AS act_us
+FROM ev e JOIN acts a ON e.rule_id = a.rule_id
+WHERE abs(epoch_us(e.event_time) - epoch_us(a.active_from)) <= ${WithinS}000000"""
+}
