@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.{Cep, Pipeline}
+
+/** Typed rows crossing the flatMapGroupsWithState boundary. */
+final case class CepRow(event_key: String, clip_id: String, rule_id: String,
+                        event_time: java.sql.Timestamp)
+final case class CepState(lastAUs: Long) // -1 = disarmed
+
+object StreamingJobs {
+
+  private def tsUs(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Transformed event stream from a streaming clip source. The rule side
+    * is a static broadcast dimension → stream-static join, stateless, no
+    * shuffle; the whole normalize/classify/enrich stage scales linearly
+    * with executors (the reference's "scale up replicas" model). */
+  def events(spark: SparkSession, clipStream: DataFrame): DataFrame =
+    Pipeline.events(spark, clipStream)
+
+  /** Watermarked tumbling-window aggregate (append mode: windows emit once
+    * finalized; late rows beyond the watermark are dropped). */
+  def windowedCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "10 minutes"), col("event_key"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("risk_score") * 10).cast("bigint")).as("risk_x10"))
+      .select(col("window.start").as("window_start"), col("event_key"),
+        col("n_events"), col("risk_x10"))
+
+  /** Watermarked session-window aggregate (30-minute gap). */
+  def sessionCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("event_key"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("event_key"), col("n_events"))
+
+  /** Watermarked stream-stream inner join: clip events ⋈ rolling rule
+    * activations within ±1h. Both sides watermarked so Spark can expire
+    * join state (north rule: stateful join with bounded state). */
+  def streamStreamJoin(events: DataFrame, activations: DataFrame): DataFrame = {
+    val ev = events.withWatermark("event_time", "2 hours")
+      .select(col("rule_id"), col("clip_id"), col("event_time"))
+    val act = activations.withWatermark("active_from", "2 hours")
+      .select(col("rule_id").as("act_rule_id"), col("act_id"), col("active_from"))
+    ev.join(act,
+      col("rule_id") === col("act_rule_id") &&
+        col("event_time") >= col("active_from") - expr("INTERVAL 1 HOUR") &&
+        col("event_time") <= col("active_from") + expr("INTERVAL 1 HOUR"))
+      .select(col("rule_id"), col("clip_id"), col("act_id"),
+        col("event_time"), col("active_from"))
+  }
+
+  /** Streaming CEP: A-then-B-within-T per event key via
+    * flatMapGroupsWithState, same transition function as the batch form
+    * ([[Cep.step]]). State = the armed A timestamp; watermark-driven
+    * event-time timeout evicts idle keys so state stays bounded at 10^12
+    * scale (hot keys are already spread by the clip_id-derived key).
+    *
+    * Within a micro-batch the group iterator is sorted by (event_time,
+    * clip_id, rule_id) — the same total order the batch oracle uses. */
+  def streamingCep(spark: SparkSession, events: DataFrame,
+                   withinS: Long = Cep.DefaultWithinS): Dataset[Cep.Detection] = {
+    import spark.implicits._
+    val rows = events
+      .filter(col("rule_id").isin(Cep.RuleA, Cep.RuleB))
+      .withWatermark("event_time", "1 hour")
+      .select(col("event_key"), col("clip_id"), col("rule_id"), col("event_time"))
+      .as[CepRow]
+
+    rows.groupByKey(_.event_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, it: Iterator[CepRow], state: GroupState[CepState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(r => (tsUs(r.event_time), r.clip_id, r.rule_id))
+            var st = state.getOption match {
+              case Some(CepState(us)) if us >= 0 => Cep.ArmState(Some(us))
+              case _ => Cep.ArmState(None)
+            }
+            val out = Seq.newBuilder[Cep.Detection]
+            var maxUs = Long.MinValue
+            sorted.foreach { r =>
+              val (next, det) = Cep.step(st,
+                Cep.SeqEvent(r.event_key, r.clip_id, r.rule_id, tsUs(r.event_time)), withinS)
+              st = next
+              det.foreach(out += _)
+              maxUs = math.max(maxUs, tsUs(r.event_time))
+            }
+            state.update(CepState(st.lastAUs.getOrElse(-1L)))
+            if (maxUs != Long.MinValue)
+              state.setTimeoutTimestamp(maxUs / 1000L + withinS * 1000L) // ms
+            out.result().iterator
+          }
+        })
+  }
+}

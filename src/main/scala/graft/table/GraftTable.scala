@@ -1,0 +1,131 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** From-scratch snapshot/manifest ACID table (Iceberg-style semantics, zero
+  * Iceberg dependency — this sandbox ships Spark jars only; SURVEY §7.2).
+  *
+  * Layout under `root`:
+  * {{{
+  *   data/batch=<batchId>/part-*.parquet   column data, one dir per commit
+  *   manifests/manifest-<batchId>.json     file list + per-file lineage/rows + metrics
+  *   snapshots/v<N>.json                   ordered list of committed manifests
+  *   VERSION                               current snapshot number (atomic pointer)
+  * }}}
+  *
+  * Commit protocol (exactly-once, idempotent by batchId):
+  *   1. already committed? → no-op (replays of a committed micro-batch
+  *      change nothing — the north rule's idempotent-commit criterion)
+  *   2. write data files (overwrite — a retried half-written batch dir is
+  *      simply rewritten; readers never see it because only manifest-listed
+  *      files are readable)
+  *   3. write manifest via tmp + atomic rename
+  *   4. write snapshot v+1 and atomically swap VERSION
+  *
+  * Readers resolve VERSION → snapshot → manifests → exact file list, so
+  * crash leftovers in data/ are invisible. Renames are atomic on local and
+  * HDFS filesystems; object stores would swap a pointer object instead.
+  */
+final class GraftTable(val root: String) {
+
+  private def p(parts: String*): Path = Paths.get(root, parts: _*)
+
+  private def writeAtomic(target: Path, content: String): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def version: Long =
+    if (Files.exists(p("VERSION"))) new String(Files.readAllBytes(p("VERSION")), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+
+  private def snapshotManifests(v: Long): Seq[String] =
+    if (v == 0) Nil
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readAllBytes(p("snapshots", s"v$v.json")))
+      node.get("manifests").elements().asScala.map(_.asText()).toSeq
+    }
+
+  def committedBatchIds: Set[Long] = synchronized {
+    snapshotManifests(version)
+      .map(m => m.stripPrefix("manifest-").stripSuffix(".json").toLong).toSet
+  }
+
+  /** Exact readable file list (manifest-controlled — never a dir glob). */
+  def dataFiles: Seq[String] = synchronized {
+    snapshotManifests(version).flatMap { m =>
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readAllBytes(p("manifests", m)))
+      node.get("files").elements().asScala.map(f => f.get("path").asText()).toSeq
+    }
+  }
+
+  def read(spark: SparkSession): DataFrame = {
+    val files = dataFiles
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  /** Commit one micro-batch. Returns false (no-op) if batchId is already in
+    * the current snapshot. Lineage = per-output-file row counts. */
+  def commit(df: DataFrame, batchId: Long, metrics: Map[String, Long] = Map.empty): Boolean = synchronized {
+    if (committedBatchIds.contains(batchId)) return false
+    val dataDir = p("data", s"batch=$batchId")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+
+    // per-file lineage from the freshly written footers (cheap metadata scan)
+    val spark = df.sparkSession
+    val written = spark.read.parquet(dataDir.toString)
+      .groupBy(input_file_name().as("path")).agg(count(lit(1)).as("rows"))
+      .collect().map(r => (r.getString(0).stripPrefix("file:"), r.getLong(1)))
+      .sortBy(_._1)
+    val totalRows = written.map(_._2).sum
+
+    val filesJson = written.map { case (path, rows) =>
+      s"""{"path":${jsonStr(path)},"rows":$rows}"""
+    }.mkString("[", ",", "]")
+    val metricsJson = metrics.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:$v" }.mkString("{", ",", "}")
+    val manifestName = s"manifest-$batchId.json"
+    writeAtomic(p("manifests", manifestName),
+      s"""{"batchId":$batchId,"rows":$totalRows,"files":$filesJson,"metrics":$metricsJson}""")
+
+    val v = version
+    val manifests = snapshotManifests(v) :+ manifestName
+    val manifestsJson = manifests.map(jsonStr).mkString("[", ",", "]")
+    writeAtomic(p("snapshots", s"v${v + 1}.json"),
+      s"""{"version":${v + 1},"manifests":$manifestsJson}""")
+    writeAtomic(p("VERSION"), (v + 1).toString)
+    true
+  }
+
+  /** Total committed row count straight from manifests (no data scan). */
+  def committedRows: Long = synchronized {
+    snapshotManifests(version).map { m =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readAllBytes(p("manifests", m))).get("rows").asLong()
+    }.sum
+  }
+}
+
+/** Exactly-once streaming sink over [[GraftTable]]: plug into
+  * `writeStream.foreachBatch(sink.write _)`. Spark's checkpoint gives
+  * at-least-once foreachBatch invocation; the batchId-keyed idempotent
+  * commit upgrades it to exactly-once table contents. */
+final class ExactlyOnceSink(table: GraftTable, metrics: Long => Map[String, Long] = _ => Map.empty) {
+  def write(df: DataFrame, batchId: Long): Unit =
+    table.commit(df, batchId, metrics(batchId))
+}

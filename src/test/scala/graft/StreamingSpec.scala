@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Cep, Pipeline}
+import graft.streaming.StreamingJobs
+import graft.table.{ExactlyOnceSink, GraftTable}
+
+/** Top-level so Spark can derive an Encoder (inner classes capture $outer). */
+case class Clip(clip_id: String, sr_hz: Int, dur_ms: Int, codec: String,
+                transcript: String, event_time: Timestamp, tenant_id: Long, event_id: Long)
+
+/** North-rule streaming machinery: watermarked windows with late-data drop,
+  * stream-stream join, CEP via flatMapGroupsWithState (parity with the
+  * batch oracle), exactly-once sink, checkpoint resume. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def clip(id: String, tr: String, t: String, eid: Long = 0L) =
+    Clip(id, 16000, 500, "wav", tr, ts(t), 7L, eid)
+
+  test("watermarked tumbling window drops late data (append mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Clip]
+    val events = StreamingJobs.events(s, ms.toDF())
+    val q = StreamingJobs.windowedCounts(events, "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("win_out").start()
+    try {
+      // two on-time events in the 10:00 window ('login ok' ⇒ no ts rewrite)
+      ms.addData(
+        clip("clip-t0-s0-0000000001", "login ok", "2025-09-19 10:00:30", 1),
+        clip("clip-t0-s0-0000000002", "login ok", "2025-09-19 10:05:00", 2))
+      q.processAllAvailable()
+      // advance the watermark well past the window end
+      ms.addData(clip("clip-t0-s0-0000000003", "login ok", "2025-09-19 12:00:00", 3))
+      q.processAllAvailable()
+      // late arrival for the already-finalized window → must be dropped
+      ms.addData(clip("clip-t0-s0-0000000004", "login ok", "2025-09-19 10:02:00", 4))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT * FROM win_out").collect()
+      val w1000 = rows.filter(_.getAs[Timestamp]("window_start") == ts("2025-09-19 10:00:00"))
+      assert(w1000.length == 1)
+      assert(w1000(0).getAs[Long]("n_events") == 2) // late row not counted
+    } finally q.stop()
+  }
+
+  test("streaming CEP matches the batch detector and respects T") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Clip]
+    // A = 'access denied' (event_time = clip ts + 60s); B = 'privilege
+    // escalation' (+120s).
+    // key clip-k1: A 10:00, B 10:30  → within 1h ⇒ detection
+    // key clip-k2: A 10:00, B 12:00  → outside  ⇒ none
+    // key clip-k3: A,A then B        → exactly one detection
+    // key clip-k4: B alone           → none
+    val clips = Seq(
+      clip("clip-k1-s0-0000000001", "access denied", "2025-09-19 10:00:00", 1),
+      clip("clip-k1-s0-0000000002", "privilege escalation", "2025-09-19 10:30:00", 2),
+      clip("clip-k2-s0-0000000003", "access denied", "2025-09-19 10:00:00", 3),
+      clip("clip-k2-s0-0000000004", "privilege escalation", "2025-09-19 12:00:00", 4),
+      clip("clip-k3-s0-0000000005", "access denied", "2025-09-19 10:00:00", 5),
+      clip("clip-k3-s0-0000000006", "access denied", "2025-09-19 10:10:00", 6),
+      clip("clip-k3-s0-0000000007", "privilege escalation", "2025-09-19 10:20:00", 7),
+      clip("clip-k4-s0-0000000008", "privilege escalation", "2025-09-19 10:00:00", 8),
+    )
+    val q = StreamingJobs.streamingCep(s, StreamingJobs.events(s, ms.toDF()))
+      .writeStream.outputMode("append").format("memory").queryName("cep_out").start()
+    try {
+      ms.addData(clips: _*)
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT * FROM cep_out").as[Cep.Detection].collect().toSet
+      val batch = Cep.detectBatch(
+        Pipeline.events(s, clips.toDF())).as[Cep.Detection].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.map(_.event_key) == Set("clip-k1", "clip-k3"))
+    } finally q.stop()
+  }
+
+  test("streaming CEP detects across micro-batches (state carries the armed A)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Clip]
+    val q = StreamingJobs.streamingCep(s, StreamingJobs.events(s, ms.toDF()))
+      .writeStream.outputMode("append").format("memory").queryName("cep_out2").start()
+    try {
+      ms.addData(clip("clip-k9-s0-0000000001", "access denied", "2025-09-19 10:00:00", 1))
+      q.processAllAvailable()
+      ms.addData(clip("clip-k9-s0-0000000002", "privilege escalation", "2025-09-19 10:30:00", 2))
+      q.processAllAvailable()
+      val out = s.sql("SELECT * FROM cep_out2").as[Cep.Detection].collect()
+      assert(out.length == 1 && out(0).event_key == "clip-k9")
+    } finally q.stop()
+  }
+
+  test("watermarked stream-stream interval join") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val clipsMs = MemoryStream[Clip]
+    val actsMs = MemoryStream[(String, Long, Timestamp)]
+    val acts = actsMs.toDF().toDF("rule_id", "act_id", "active_from")
+    val joined = StreamingJobs.streamStreamJoin(
+      StreamingJobs.events(s, clipsMs.toDF()), acts)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("join_out").start()
+    try {
+      clipsMs.addData(
+        clip("clip-k1-s0-0000000001", "access denied", "2025-09-19 10:00:00", 1), // ev 10:01
+        clip("clip-k2-s0-0000000002", "access denied", "2025-09-19 15:00:00", 2)) // ev 15:01
+      actsMs.addData(
+        ("r-access-denied", 100L, ts("2025-09-19 10:30:00")), // within 1h of 10:01
+        ("r-access-denied", 101L, ts("2025-09-19 12:00:00"))) // within of neither
+      q.processAllAvailable()
+      val rows = s.sql("SELECT act_id, clip_id FROM join_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((100L, "clip-k1-s0-0000000001")))
+    } finally q.stop()
+  }
+
+  test("GraftTable commit is idempotent by batchId") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_table").toString
+    val t = new GraftTable(root)
+    val df1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val df2 = Seq((3, "c")).toDF("id", "v")
+    assert(t.commit(df1, 0L, Map("outgoing" -> 2L)))
+    assert(!t.commit(df2, 0L)) // replay of committed batch → no-op
+    assert(t.commit(df2, 1L))
+    assert(t.committedRows == 3)
+    assert(t.read(s).count() == 3)
+    assert(t.committedBatchIds == Set(0L, 1L))
+    // uncommitted junk in data/ is invisible to readers
+    df2.write.parquet(s"$root/data/batch=99")
+    assert(t.read(s).count() == 3)
+  }
+
+  test("exactly-once sink: checkpoint resume yields identical output rows") {
+    val s = spark
+    import s.implicits._
+    val srcDir = Files.createTempDirectory("clip_src").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val root = Files.createTempDirectory("graft_sink").toString
+    val table = new GraftTable(root)
+    val sink = new ExactlyOnceSink(table)
+
+    def clipBatch(from: Int, to: Int): Seq[Clip] =
+      (from until to).map(i => clip(f"clip-t${i % 4}-s0-${i}%010d",
+        if (i % 2 == 0) "access denied" else "login ok",
+        "2025-09-19 10:00:00", i.toLong))
+
+    def startQuery() = s.readStream
+      .schema(clipBatch(0, 1).toDF().schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .transform(df => StreamingJobs.events(s, df))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(sink.write _)
+      .start()
+
+    clipBatch(0, 10).toDF().write.mode("append").parquet(srcDir)
+    clipBatch(10, 20).toDF().write.mode("append").parquet(srcDir)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()   // "kill" mid-stream
+    clipBatch(20, 30).toDF().write.mode("append").parquet(srcDir)
+    val q2 = startQuery()                 // resume from checkpoint
+    q2.processAllAvailable(); q2.stop()
+
+    // reference: uninterrupted batch run over the same input
+    val expected = Pipeline.events(s, clipBatch(0, 30).toDF())
+      .select("event_uid").collect().map(_.getString(0)).sorted
+    val got = table.read(s).select("event_uid").collect().map(_.getString(0)).sorted
+    assert(got.length == expected.length)
+    assert(got.sameElements(expected)) // identical output rows, no dupes/gaps
+  }
+}
