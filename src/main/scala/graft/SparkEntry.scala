@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.audio.{ClipTable, Oracles, Rules}
-import graft.operators.{Cep, IntervalJoin, Pipeline, Windows}
+import graft.operators.{Cep, Dedup, IntervalJoin, Pipeline, Similarity, TextOps, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -83,6 +83,36 @@ object SparkEntry {
     "j_interval" -> ((s, dir) =>
       IntervalJoin.join(Pipeline.events(s, clips(s, dir)),
         IntervalJoin.activations(s, dir))),
+    // ---- training-data pipeline ops over documents/embeddings ----
+    "txt_quality" -> ((s, dir) => TextOps.quality(TextOps.docs(s, dir))),
+    "txt_langid" -> ((s, dir) => TextOps.langId(TextOps.docs(s, dir))),
+    "txt_tokens" -> ((s, dir) => TextOps.tokenCounts(TextOps.docs(s, dir))),
+    "txt_fingerprint" -> ((s, dir) => TextOps.fingerprint(TextOps.docs(s, dir))),
+    "dedup_exact" -> ((s, dir) => Dedup.exact(TextOps.docs(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(TextOps.docs(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(TextOps.docs(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(TextOps.docs(s, dir))),
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(TextOps.docs(s, dir))),
+    "dedup_embed_cosine" -> ((s, dir) => Similarity.cosineNearDup(Similarity.embeddings(s, dir))),
+    "sim_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(Similarity.embeddings(s, dir))),
+    "sim_ivf_bucket" -> ((s, dir) => Similarity.ivfTopNeighbor(Similarity.embeddings(s, dir))),
+    // Multimodal plumbing: opaque binary + typed metadata → decode →
+    // feature extraction (RMS/peak/frame sampling) via the registered
+    // Catalyst decode expression. Not SQL-expressible → rows-only check;
+    // SNR pinned in PcmSpec.
+    "mm_audio_features" -> ((s, dir) => {
+      graft.functions.AudioFunctions.register(s)
+      import graft.functions.AudioFunctions._
+      clips(s, dir).filter(Pipeline.gate)
+        .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+        .withColumn("pcm", pcm_decode(col("bytes"), col("codec")))
+        .select(col("clip_id"), col("sr_hz"), col("dur_ms"),
+          size(col("pcm")).cast("bigint").as("n_samples"),
+          expr("CAST(round(1000 * sqrt(aggregate(transform(pcm, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v) / size(pcm))) AS BIGINT)").as("rms_x1000"),
+          expr("CAST(round(1000 * array_max(transform(pcm, x -> abs(CAST(x AS DOUBLE))))) AS BIGINT)").as("peak_x1000"),
+          // frame sampling: one 20ms frame every 100ms → frame count
+          expr("CAST(size(pcm) div (sr_hz div 10) AS BIGINT)").as("n_frames_100ms"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,6 +138,18 @@ FROM clips"""),
     "w_sliding" -> Oracles.withEvents(Windows.slidingSql),
     "w_session" -> Oracles.withEvents(Windows.sessionSql),
     "cep_sequence" -> Oracles.withEvents(Cep.detectSql()),
+    "txt_quality" -> TextOps.qualitySql,
+    "txt_langid" -> TextOps.langIdSql,
+    "txt_tokens" -> TextOps.tokenCountsSql,
+    "txt_fingerprint" -> TextOps.fingerprintSql,
+    "dedup_exact" -> Dedup.exactSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
+    "dedup_minhash_lsh" -> Dedup.minhashLshSql(),
+    "dedup_simhash" -> Dedup.simhashSql,
+    "dedup_simhash_pairs" -> Dedup.simhashPairsSql(),
+    "dedup_embed_cosine" -> Similarity.cosineNearDupSql(),
+    "sim_bruteforce_topk" -> Similarity.bruteForceTopKSql(),
+    "sim_ivf_bucket" -> Similarity.ivfTopNeighborSql,
     "j_interval" -> (Oracles.prelude +
       s", ev AS (${Oracles.eventsSelect(Nil)}),\n${IntervalJoin.activationsSqlDuck.trim}\n${IntervalJoin.joinSqlDuck}"),
   )

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`: exact (hash groupBy), n-gram
+  * Jaccard, MinHash+LSH (the scale path: shingle → minhash → band → bucket
+  * join → verify), and SimHash. MinHash values are md5 hex strings compared
+  * lexicographically — portable across engines, uniform enough for LSH.
+  *
+  * Scale notes: exact dedup is one shuffle on the content hash. The Jaccard
+  * verifier joins on shingles (shuffle on shingle), never all-pairs. LSH
+  * candidates come from a band-bucket self-join so the O(n²) cross product
+  * never materializes — at 10^12 docs the band join is the only quadratic
+  * risk and it is bounded by bucket size (AQE skew split handles hot
+  * buckets). Similarity scores are integer-scaled for exact comparison.
+  */
+object Dedup {
+
+  // 3-token shingles, distinct per doc (empty when <3 tokens)
+  private val shinglesExpr = expr("""
+    CASE WHEN size(split(text, ' ')) >= 3 THEN
+      array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+        i -> concat(element_at(split(text, ' '), i), ' ',
+                    element_at(split(text, ' '), i + 1), ' ',
+                    element_at(split(text, ' '), i + 2))))
+    ELSE array() END""")
+
+  private val shinglesDuck = """
+    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        i -> string_split(text, ' ')[i] || ' ' ||
+             string_split(text, ' ')[i + 1] || ' ' ||
+             string_split(text, ' ')[i + 2]))
+    ELSE [] END"""
+
+  /** (doc_id, shingle) exploded pairs. */
+  private def shingleRows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(shinglesExpr).as("shingle"))
+
+  private val shingleRowsDuck = s"""
+sh AS (
+  SELECT doc_id, unnest($shinglesDuck) AS shingle FROM documents
+)"""
+
+  // ------------------------------------------------------------- exact
+  /** Exact dedup on a content prefix hash: keeper = min doc_id per group. */
+  def exact(d: DataFrame): DataFrame =
+    d.groupBy(md5(substring(col("text"), 1, 120)).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+
+  val exactSql: String = """
+SELECT md5(substr(text, 1, 120)) AS content_hash,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM documents GROUP BY 1"""
+
+  // ----------------------------------------------------- n-gram Jaccard
+  /** Jaccard over 3-gram shingles for co-shingled pairs (a<b), ×1000
+    * integer-divided. Only pairs sharing ≥1 shingle are scored. */
+  def ngramJaccard(d: DataFrame, minX1000: Long = 200): DataFrame = {
+    val sh = shingleRows(d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jac_x1000", expr("(1000 * common) div (sz_a + sz_b - common)"))
+      .filter(col("jac_x1000") >= minX1000)
+      .select("doc_a", "doc_b", "common", "jac_x1000")
+  }
+
+  def ngramJaccardSql(minX1000: Long = 200): String = s"""
+WITH $shingleRowsDuck,
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, common,
+       (1000 * common) // (sa.sz + sb.sz - common) AS jac_x1000
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE (1000 * common) // (sa.sz + sb.sz - common) >= $minX1000"""
+
+  // --------------------------------------------------------- MinHash LSH
+  /** Per-doc MinHash signature (8 hashes as lexicographic-min md5 hex) and
+    * 4 band keys of 2 hashes each; LSH candidates = pairs sharing a band;
+    * verified with exact Jaccard ≥ threshold. */
+  def minhashLsh(d: DataFrame, minX1000: Long = 200): DataFrame = {
+    val sh = shingleRows(d)
+    val sig = sh
+      .withColumn("h", explode(sequence(lit(0), lit(7))))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(md5(concat(col("h").cast("string"), lit(":"), col("shingle")))).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(h, mh))), x -> x.mh)").as("sig"))
+    val bands = sig
+      .withColumn("b", explode(sequence(lit(0), lit(3))))
+      .select(col("doc_id"), col("b"),
+        md5(concat(expr("element_at(sig, 2 * b + 1)"), expr("element_at(sig, 2 * b + 2)"))).as("band_key"))
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    // verify candidates with exact jaccard
+    cands.join(ngramJaccard(d, minX1000), Seq("doc_a", "doc_b"))
+      .select("doc_a", "doc_b", "jac_x1000")
+  }
+
+  def minhashLshSql(minX1000: Long = 200): String = s"""
+WITH $shingleRowsDuck,
+mh AS (
+  SELECT doc_id, h, MIN(md5(CAST(h AS STRING) || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS h) hs
+  GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id, list_transform(list_sort(list(struct_pack(h := h, mh := mh))), x -> x.mh) AS sig
+  FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b, md5(sig[2 * b + 1] || sig[2 * b + 2]) AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+cands AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b,
+       (1000 * common) // (sa.sz + sb.sz - common) AS jac_x1000
+FROM cands c
+JOIN common co ON co.doc_a = c.doc_a AND co.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE (1000 * common) // (sa.sz + sb.sz - common) >= $minX1000"""
+
+  // --------------------------------------------------------------- SimHash
+  /** 16-bit SimHash over distinct tokens; per-bit hash from md5 hex chars
+    * (portable across engines). */
+  def simhash(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("k", explode(sequence(lit(0), lit(15))))
+      .withColumn("hexv", expr("CAST(conv(substr(md5(tok), 1 + CAST(k / 4 AS INT), 1), 16, 10) AS INT)"))
+      .withColumn("bit", expr("(hexv div CAST(pow(2, 3 - k % 4) AS INT)) % 2"))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(sum(col("bit") * 2 - 1).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("CAST(pow(2, k) AS BIGINT)")).otherwise(0L)).as("simhash"))
+
+  val simhashSql: String = """
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN CAST(2 ** k AS BIGINT) ELSE 0 END) AS simhash
+FROM (
+  SELECT doc_id, k, SUM(bit * 2 - 1) AS s
+  FROM (
+    SELECT doc_id, k,
+      ((strpos('0123456789abcdef', substr(md5(tok), 1 + k // 4, 1)) - 1)
+        // CAST(2 ** (3 - k % 4) AS INT)) % 2 AS bit
+    FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents) t
+    CROSS JOIN (SELECT unnest(range(0, 16)) AS k) ks) b
+  GROUP BY 1, 2) g
+GROUP BY doc_id"""
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHam. */
+  def simhashPairs(d: DataFrame, maxHam: Int = 2): DataFrame = {
+    val s = simhash(d)
+    s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)").cast("bigint"))
+      .filter(col("hamming") <= maxHam)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+  }
+
+  def simhashPairsSql(maxHam: Int = 2): String = s"""
+WITH s AS (${simhashSql.trim})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHam"""
+}

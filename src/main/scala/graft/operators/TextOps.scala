@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the driver's `documents` table: quality scoring, language ID (stopword
+  * heuristic), token counting, and position-weighted document
+  * fingerprinting. All pure column algebra (higher-order array functions) —
+  * no UDFs, fully codegen'd, shuffle-free except the final aggregates.
+  *
+  * Every score is emitted as an integer-scaled bigint so the DuckDB oracle
+  * comparison is exact (no float-hash flake).
+  */
+object TextOps {
+
+  def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private val enStops = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+  private val esStops = Seq("el", "la", "de", "y", "que", "en", "los")
+  private val deStops = Seq("der", "die", "das", "und", "ist", "von")
+
+  private def stopsArr(ws: Seq[String]) = array(ws.map(lit): _*)
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  private val toks = split(col("text"), " ")
+
+  private def hits(ws: Seq[String]) =
+    size(filter(toks, t => array_contains(stopsArr(ws), t))).cast("bigint")
+
+  /** Quality scoring: length, token count, avg token length ×100,
+    * stopword ratio ×1000. */
+  def quality(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      size(toks).cast("bigint").as("n_tokens"),
+      hits(enStops).as("n_stop"),
+      round(lit(100.0) * (length(col("text")) - size(toks) + 1) / size(toks))
+        .cast("bigint").as("avg_tok_len_x100"),
+      round(lit(1000.0) * hits(enStops) / size(toks)).cast("bigint").as("stop_ratio_x1000"))
+
+  val qualitySql: String = s"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(string_split(text, ' '), t -> t IN (${sqlList(enStops)}))) AS BIGINT) AS n_stop,
+  CAST(round(100.0 * (length(text) - len(string_split(text, ' ')) + 1) / len(string_split(text, ' '))) AS BIGINT) AS avg_tok_len_x100,
+  CAST(round(1000.0 * len(list_filter(string_split(text, ' '), t -> t IN (${sqlList(enStops)}))) / len(string_split(text, ' '))) AS BIGINT) AS stop_ratio_x1000
+FROM documents"""
+
+  /** Language ID: stopword-hit argmax with a fixed tie order (en→es→de). */
+  def langId(d: DataFrame): DataFrame = {
+    val en = hits(enStops); val es = hits(esStops); val de = hits(deStops)
+    d.select(col("doc_id"), en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
+      when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de").as("lang_pred"))
+  }
+
+  val langIdSql: String = s"""
+SELECT doc_id, en_hits, es_hits, de_hits,
+  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+       WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END AS lang_pred
+FROM (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text, ' '), t -> t IN (${sqlList(enStops)}))) AS BIGINT) AS en_hits,
+    CAST(len(list_filter(string_split(text, ' '), t -> t IN (${sqlList(esStops)}))) AS BIGINT) AS es_hits,
+    CAST(len(list_filter(string_split(text, ' '), t -> t IN (${sqlList(deStops)}))) AS BIGINT) AS de_hits
+  FROM documents) t"""
+
+  /** Token counting: whitespace tokens, distinct tokens, regex word tokens
+    * (BPE-ish alnum segmentation). */
+  def tokenCounts(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      size(toks).cast("bigint").as("ws_tokens"),
+      size(array_distinct(toks)).cast("bigint").as("distinct_tokens"),
+      size(filter(split(col("text"), "[^a-z0-9]+"), t => length(t) > 0))
+        .cast("bigint").as("word_tokens"))
+
+  val tokenCountsSql: String = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
+  CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), t -> length(t) > 0)) AS BIGINT) AS word_tokens
+FROM documents"""
+
+  /** Position-weighted rolling fingerprint: order-sensitive like a rolling
+    * hash, but expressed as a sum of positional terms so it is exact and
+    * engine-order-independent (bigint arithmetic, no overflow at doc sizes). */
+  def fingerprint(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+        ((col("pos") + 1) * (length(col("tok")) * 31 + ascii(col("tok")))).cast("bigint").as("term"))
+      .groupBy("doc_id").agg(sum(col("term")).as("fingerprint"))
+
+  val fingerprintSql: String = """
+SELECT doc_id, SUM(CAST(i * (length(t) * 31 + ascii(t)) AS BIGINT)) AS fingerprint
+FROM (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS t,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents) x
+GROUP BY doc_id"""
+}
