@@ -1,24 +1,111 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.audio.ClipTable
+import graft.operators.Pipeline
+import graft.streaming.StreamingJobs
+import graft.table.{ExactlyOnceSink, GraftTable}
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"total","value":sec,"unit":"sec","queries":{...},"sf":...,
+  *  "throughput":{...}}
+  *
+  * Two parts:
+  *  1. per-query wall time for every SparkEntry query at local[CPUS]
+  *  2. the north-star metric: sustained clips/sec end-to-end (streaming
+  *     source → full normalize/classify/enrich → exactly-once GraftTable
+  *     sink), run at local[8] and local[32] on the SAME staged input — the
+  *     sandbox stand-in for N vs 4N executors. Efficiency = (thr32/thr8)/4.
+  *     local[32] runs FIRST so JIT warmth favors the small config
+  *     (conservative efficiency). Skippable via SPARK_GRAFT_NO_SCALING=1.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Stage a replicated clip table (metadata + transcript) as 128 parquet
+    * files: with maxFilesPerTrigger=32 each micro-batch carries 32 source
+    * partitions, so a local[32] run can actually use all 32 cores (a batch
+    * of 8 files caps usable parallelism at 8 regardless of executor count —
+    * the round-1 scaling bug). */
+  private def stageInput(spark: SparkSession, sfDir: String, outDir: String,
+                         replicate: Int): Long = {
+    val clips = ClipTable.clips(spark, sfDir)
+      .crossJoin(spark.range(replicate.toLong).select(col("id").as("rep")))
+      .withColumn("clip_id", concat(col("clip_id"), lit("-r"), col("rep")))
+      .drop("rep")
+    clips.repartition(128).write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
+  /** One end-to-end streaming replay; returns clips/sec. */
+  private def runPipeline(cpus: Int, inputDir: String, nClips: Long): Double = {
+    val spark = session(cpus)
+    try {
+      val schema = spark.read.parquet(inputDir).schema
+      val ckpt = Files.createTempDirectory(s"bench_ckpt_$cpus").toString
+      val tableDir = Files.createTempDirectory(s"bench_table_$cpus").toString
+      val sink = new ExactlyOnceSink(new GraftTable(tableDir))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 32)
+        .parquet(inputDir)
+      val events = StreamingJobs.events(spark, stream)
+      val q = events.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.write _)
+        .start()
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      nClips / sec
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    // -------- part 1: per-query timings
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val total = results.map(_._2).sum
+
+    // -------- part 2: throughput scaling (local[32] vs local[8])
+    val throughputJson =
+      if (sys.env.contains("SPARK_GRAFT_NO_SCALING")) "{}"
+      else {
+        val inputDir = "/tmp/graft_bench_input"
+        val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "30").toInt
+        val nClips = stageInput(spark, sfDir, inputDir, replicate)
+        spark.stop()
+        runPipeline(16, inputDir, nClips) // JIT/page-cache warmup (untimed)
+        val thr32 = runPipeline(32, inputDir, nClips)
+        val thr8 = runPipeline(8, inputDir, nClips)
+        val eff = (thr32 / thr8) / 4.0
+        f"""{"n_clips":$nClips,"clips_per_sec_local8":${thr8}%.1f,"clips_per_sec_local32":${thr32}%.1f,"scaling_efficiency":${eff}%.3f}"""
+      }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val totalStr = f"$total%.3f"
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","throughput":$throughputJson}""")
   }
 }

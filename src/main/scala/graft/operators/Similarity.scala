@@ -9,44 +9,57 @@ import org.apache.spark.sql.functions._
   *
   * Cosine is computed as a LEFT FOLD of double products in BOTH engines
   * (Spark `aggregate` HOF ↔ DuckDB `list_reduce`), so the doubles are
-  * bit-identical and the ×10000 rounding is flake-free.
+  * bit-identical and the ×10000 rounding is flake-free. Per-vector norms
+  * are computed ONCE and joined in — same bits as inlining, ~3× less work
+  * on the pair side (the pair side is the quadratic one).
   *
   * Scale path: `ivfTopNeighbor` buckets vectors by the sign pattern of the
   * leading dimensions (a 16-cell coarse quantizer) and searches within the
   * bucket only — the self-join never materializes the O(n²) cross product.
-  * Brute-force top-k is the correctness baseline; at 10^12 rows the IVF/LSH
-  * variant with a broadcast query set is the one that survives.
+  * Brute-force top-k is the correctness baseline; at 10^12 rows the
+  * IVF/LSH variant with a broadcast query set is the one that survives.
   */
 object Similarity {
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-  /** cos(a,b)×10000 as bigint; `a`/`b` are array<float> column names. */
-  private def cosX10000(a: String, b: String) = expr(s"""
-    CAST(round(10000 *
-      aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
-      / (sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))
-       * sqrt(aggregate(transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)))
-    ) AS BIGINT)""")
+  private def normExpr(e: String) = expr(
+    s"sqrt(aggregate(transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))")
 
-  private def cosDuck(a: String, b: String) = s"""
-    CAST(round(10000 *
-      list_reduce(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)
-      / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
-       * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))
-    ) AS BIGINT)"""
+  private def normDuck(e: String) =
+    s"sqrt(list_reduce(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+
+  private def dotExpr(a: String, b: String) = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+
+  private def dotDuck(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** cos(a,b)×10000 as bigint from a dot and two precomputed norms. */
+  private def cosX10000(a: String, b: String, na: String, nb: String) =
+    round(lit(10000) * dotExpr(a, b) / (col(na) * col(nb))).cast("bigint")
+
+  private def cosDuck(a: String, b: String, na: String, nb: String) =
+    s"CAST(round(10000 * ${dotDuck(a, b)} / ($na * $nb)) AS BIGINT)"
+
+  /** (vec_id, embedding, nrm) — norm computed once per vector. */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"), normExpr("embedding").as("nrm"))
+
+  private val withNormDuck =
+    s"e AS (SELECT vec_id, embedding, ${normDuck("embedding")} AS nrm FROM embeddings)"
 
   /** Brute-force cosine top-k for a deterministic query subset
     * (vec_id % 100 = 0). The query side is tiny → broadcast; ranking is a
     * per-query window with integer-score + id tiebreak (deterministic). */
   def bruteForceTopK(emb: DataFrame, k: Int = 10): DataFrame = {
-    val q = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val n = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    val scored = n.join(broadcast(q), col("n_id") =!= col("q_id"))
-      .withColumn("cos_x10000", cosX10000("q_emb", "n_emb"))
-    scored
+    val e = withNorm(emb)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    n.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("cos_x10000", cosX10000("q_emb", "n_emb", "q_nrm", "n_nrm"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos_x10000").desc, col("n_id").asc)))
       .filter(col("rank") <= k)
@@ -54,10 +67,11 @@ object Similarity {
   }
 
   def bruteForceTopKSql(k: Int = 10): String = s"""
-WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
-n AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
+WITH $withNormDuck,
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id % 100 = 0),
+n AS (SELECT vec_id AS n_id, embedding AS n_emb, nrm AS n_nrm FROM e),
 scored AS (
-  SELECT q_id, n_id, ${cosDuck("q_emb", "n_emb")} AS cos_x10000
+  SELECT q_id, n_id, ${cosDuck("q_emb", "n_emb", "q_nrm", "n_nrm")} AS cos_x10000
   FROM n JOIN q ON n_id <> q_id)
 SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, cos_x10000 FROM (
   SELECT q_id, n_id, cos_x10000,
@@ -80,12 +94,12 @@ WHERE rank <= $k"""
 
   /** IVF-bucketed top-1 neighbor per vector: search within the bucket only. */
   def ivfTopNeighbor(emb: DataFrame): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
+    val e = withNorm(emb).withColumn("bucket", bucketExpr)
     val pairs = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
         col("b.vec_id").as("n_id"),
-        cosX10000("a.embedding", "b.embedding").as("cos_x10000"))
+        cosX10000("a.embedding", "b.embedding", "a.nrm", "b.nrm").as("cos_x10000"))
     pairs.withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cos_x10000").desc, col("n_id").asc)))
       .filter(col("rn") === 1)
@@ -93,11 +107,12 @@ WHERE rank <= $k"""
   }
 
   val ivfTopNeighborSql: String = s"""
-WITH e AS (SELECT vec_id, embedding, $bucketDuck AS bucket FROM embeddings),
+WITH $withNormDuck,
+eb AS (SELECT vec_id, embedding, nrm, $bucketDuck AS bucket FROM e),
 pairs AS (
   SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS n_id,
-         ${cosDuck("a.embedding", "b.embedding")} AS cos_x10000
-  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         ${cosDuck("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos_x10000
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
 SELECT vec_id, bucket, n_id, cos_x10000 FROM (
   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_x10000 DESC, n_id ASC) AS rn
   FROM pairs) t
@@ -105,16 +120,17 @@ WHERE rn = 1"""
 
   /** Embedding-cosine near-dup pairs above a threshold (a<b). */
   def cosineNearDup(emb: DataFrame, minX10000: Long = 3000): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"))
+    val e = withNorm(emb)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos_x10000", cosX10000("a.embedding", "b.embedding"))
+      .withColumn("cos_x10000", cosX10000("a.embedding", "b.embedding", "a.nrm", "b.nrm"))
       .filter(col("cos_x10000") >= minX10000)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_x10000"))
   }
 
   def cosineNearDupSql(minX10000: Long = 3000): String = s"""
+WITH $withNormDuck
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ${cosDuck("a.embedding", "b.embedding")} AS cos_x10000
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE ${cosDuck("a.embedding", "b.embedding")} >= $minX10000"""
+       ${cosDuck("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos_x10000
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ${cosDuck("a.embedding", "b.embedding", "a.nrm", "b.nrm")} >= $minX10000"""
 }

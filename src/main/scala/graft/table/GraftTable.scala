@@ -86,12 +86,17 @@ final class GraftTable(val root: String) {
     val dataDir = p("data", s"batch=$batchId")
     df.write.mode("overwrite").parquet(dataDir.toString)
 
-    // per-file lineage from the freshly written footers (cheap metadata scan)
-    val spark = df.sparkSession
-    val written = spark.read.parquet(dataDir.toString)
-      .groupBy(input_file_name().as("path")).agg(count(lit(1)).as("rows"))
-      .collect().map(r => (r.getString(0).stripPrefix("file:"), r.getLong(1)))
-      .sortBy(_._1)
+    // per-file lineage from the freshly written parquet FOOTERS — driver-side
+    // metadata reads only, no second Spark job over the data
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val written = Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), hconf)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (f.toString, rd.getRecordCount) finally rd.close()
+      }.toArray.sortBy((x: (String, Long)) => x._1)
     val totalRows = written.map(_._2).sum
 
     val filesJson = written.map { case (path, rows) =>

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Pipeline
+import graft.audio.Rules
+
+/** Property-based invariants (SURVEY §5.3): the conservation law and
+  * expansion accounting hold for ARBITRARY clip inputs, not just the golden
+  * fixtures. Plain scalacheck generators sampled deterministically
+  * (pureApply + fixed seeds) — the scalatest/scalacheck bridge artifact is
+  * not in the offline cache. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val phrases = Seq("access denied", "privilege escalation", "login ok",
+    "policy skipped", "user 1", "user 2", "user 3", "user 4", "nothing")
+  private val codecs = Seq("pcm_s16le", "wav", "opus-stub")
+
+  private val clipGen: Gen[(String, String, String)] = for {
+    key <- Gen.oneOf("t0", "t1", "t2")
+    n <- Gen.choose(0, 99999)
+    codec <- Gen.oneOf(codecs)
+    hasTr <- Gen.frequency(9 -> true, 1 -> false)
+    k <- Gen.choose(0, 3)
+    ph <- Gen.listOfN(k, Gen.oneOf(phrases))
+  } yield (f"clip-$key-s0-$n%010d",
+    codec,
+    if (hasTr) ("clip " + ph.mkString(" ") + " end") else null)
+
+  private val batchGen: Gen[List[(String, String, String)]] =
+    Gen.listOfN(25, clipGen).map(_.distinctBy(_._1))
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("conservation law holds for arbitrary batches (METRICS.md:42)") {
+    samples(batchGen, 5).foreach { rows =>
+      val df = TestSpark.clipsDf(rows)
+      val c = Pipeline.counters(spark, df).collect()(0)
+      val in = c.getAs[Long]("incoming_logs_total")
+      val exp = c.getAs[Long]("expanded_events_total")
+      val pt = c.getAs[Long]("passthrough_total")
+      val out = c.getAs[Long]("outgoing_logs_total")
+      assert(in == rows.length)
+      assert(out == exp + pt)
+      // fullPipeline row count == outgoing (union of events + passthrough)
+      assert(Pipeline.fullPipeline(spark, df).count() == out)
+    }
+  }
+
+  test("expansion count equals per-clip surviving matches for any status filter") {
+    val filters = Seq(Nil, Seq("fail"), Seq("pass", "skip"), Seq("error"),
+      Rules.validStatuses.toSeq)
+    samples(batchGen, 3).zip(Iterator.continually(filters).flatten).foreach {
+      case (rows, filter) =>
+        val df = TestSpark.clipsDf(rows)
+        val nEvents = Pipeline.events(spark, df, filter).count()
+        // independent accounting from first principles over the rule set
+        val expected = rows.map { case (_, codec, tr) =>
+          if (tr == null || !Seq("pcm_s16le", "wav").contains(codec)) 0L
+          else Rules.all.count { r =>
+            tr.contains(r.pattern) &&
+              r.payloadJson.contains("\"result\":\"") && // well-formed payloads only
+              (filter.isEmpty || filter.exists(f => r.payloadJson.contains(s""""result":"$f"""")))
+          }.toLong
+        }.sum
+        assert(nEvents == expected, s"filter=$filter rows=${rows.size}")
+    }
+  }
+
+  test("GraftTable commits are idempotent under repeated replay") {
+    val s = spark
+    import s.implicits._
+    samples(Gen.zip(Gen.listOfN(6, Gen.choose(0L, 2L)), Gen.choose(1, 5)), 3).foreach {
+      case (replays, n) =>
+        val root = java.nio.file.Files.createTempDirectory("prop_table").toString
+        val t = new graft.table.GraftTable(root)
+        val data = (0 until n).map(i => (i, s"v$i")).toDF("id", "v")
+        (0L to 2L).foreach(b => t.commit(data, b))       // commit 3 batches
+        replays.foreach(b => assert(!t.commit(data, b))) // replays are no-ops
+        assert(t.committedRows == 3L * n)
+    }
+  }
+}
