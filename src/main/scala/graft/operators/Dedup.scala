@@ -34,9 +34,12 @@ object Dedup {
              string_split(text, ' ')[i + 2]))
     ELSE [] END"""
 
-  /** (doc_id, shingle) exploded pairs. */
+  /** (doc_id, shingle) exploded pairs — cached because every dedup query
+    * reuses this relation 2-4× (self-join sides, sizes, minhash); without
+    * the cache Spark re-runs the scan+explode+md5 per use. Small (shingles
+    * of the documents table), safe to pin. */
   private def shingleRows(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), explode(shinglesExpr).as("shingle"))
+    d.select(col("doc_id"), explode(shinglesExpr).as("shingle")).cache()
 
   private val shingleRowsDuck = s"""
 sh AS (

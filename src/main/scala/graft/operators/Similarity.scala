@@ -24,28 +24,27 @@ object Similarity {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-  private def normExpr(e: String) = expr(
-    s"sqrt(aggregate(transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))")
-
   private def normDuck(e: String) =
     s"sqrt(list_reduce(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
-
-  private def dotExpr(a: String, b: String) = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
 
   private def dotDuck(a: String, b: String) =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
-  /** cos(a,b)×10000 as bigint from a dot and two precomputed norms. */
+  /** cos(a,b)×10000 as bigint from a dot and two precomputed norms.
+    * DotF runs the same ascending left-fold double sum as list_reduce. */
   private def cosX10000(a: String, b: String, na: String, nb: String) =
-    round(lit(10000) * dotExpr(a, b) / (col(na) * col(nb))).cast("bigint")
+    round(lit(10000) * graft.functions.VecFunctions.dot_f(col(a), col(b)) /
+      (col(na) * col(nb))).cast("bigint")
 
   private def cosDuck(a: String, b: String, na: String, nb: String) =
     s"CAST(round(10000 * ${dotDuck(a, b)} / ($na * $nb)) AS BIGINT)"
 
   /** (vec_id, embedding, nrm) — norm computed once per vector. */
-  private def withNorm(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding"), normExpr("embedding").as("nrm"))
+  private def withNorm(emb: DataFrame): DataFrame = {
+    graft.functions.VecFunctions.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("embedding"),
+      sqrt(graft.functions.VecFunctions.norm2_f(col("embedding"))).as("nrm"))
+  }
 
   private val withNormDuck =
     s"e AS (SELECT vec_id, embedding, ${normDuck("embedding")} AS nrm FROM embeddings)"
