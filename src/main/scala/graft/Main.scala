@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import graft.audio.Rules
+import graft.metrics.Metrics
+import graft.streaming.StreamingJobs
+import graft.table.{ExactlyOnceSink, GraftTable}
+
+/** spark-submit entry point (SURVEY §7.2 job/): runs the streaming CEP
+  * engine end-to-end — clip-table stream → normalize/classify/enrich →
+  * exactly-once GraftTable sink with per-commit metrics — resumable from
+  * checkpoint.
+  *
+  * Usage:
+  *   spark-submit --class graft.Main <jar> \
+  *     --input <clipTableDir> --output <graftTableRoot> \
+  *     --checkpoint <dir> [--status-filter fail,error] \
+  *     [--max-files-per-trigger 32] [--once]
+  *
+  * Config validation mirrors the reference (C1, config.go): status_filter
+  * values outside {pass,fail,error,skip} are rejected, case-sensitively.
+  */
+object Main {
+
+  final case class Config(input: String = "", output: String = "",
+                          checkpoint: String = "", statusFilter: Seq[String] = Nil,
+                          maxFilesPerTrigger: Int = 32, once: Boolean = true)
+
+  def parseArgs(args: Array[String]): Either[String, Config] = {
+    def loop(rest: List[String], c: Config): Either[String, Config] = rest match {
+      case Nil => Right(c)
+      case "--input" :: v :: t => loop(t, c.copy(input = v))
+      case "--output" :: v :: t => loop(t, c.copy(output = v))
+      case "--checkpoint" :: v :: t => loop(t, c.copy(checkpoint = v))
+      case "--status-filter" :: v :: t =>
+        loop(t, c.copy(statusFilter = v.split(",").toSeq.filter(_.nonEmpty)))
+      case "--max-files-per-trigger" :: v :: t => loop(t, c.copy(maxFilesPerTrigger = v.toInt))
+      case "--once" :: t => loop(t, c.copy(once = true))
+      case "--continuous" :: t => loop(t, c.copy(once = false))
+      case other :: _ => Left(s"unknown argument: $other")
+    }
+    loop(args.toList, Config()).flatMap { c =>
+      if (c.input.isEmpty || c.output.isEmpty || c.checkpoint.isEmpty)
+        Left("--input, --output and --checkpoint are required")
+      else Rules.validateStatusFilter(c.statusFilter).map(_ => c)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val conf = parseArgs(args).fold(e => { System.err.println(s"[graft] $e"); sys.exit(2) }, identity)
+    val builder = SparkSession.builder()
+      .appName("graft-streaming-cep")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // spark-submit injects spark.master; default to local when run directly
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.AudioFunctions.register(spark)
+
+    val listener = new Metrics.Listener(persistRoot = Some(conf.output))
+    spark.streams.addListener(listener)
+    val table = new GraftTable(conf.output)
+    val sink = new ExactlyOnceSink(table)
+
+    val schema = spark.read.parquet(conf.input).schema
+    val clips = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
+      .parquet(conf.input)
+    val events = Metrics.observeEvents(
+      StreamingJobs.events(spark, clips, conf.statusFilter))
+
+    val q = events.writeStream
+      .option("checkpointLocation", conf.checkpoint)
+      .foreachBatch(sink.write _)
+      .trigger(if (conf.once) Trigger.AvailableNow() else Trigger.ProcessingTime("1 second"))
+      .start()
+    q.awaitTermination()
+    println(s"""{"committed_batches":${table.committedBatchIds.size},"rows":${table.committedRows}}""")
+    spark.stop()
+  }
+}

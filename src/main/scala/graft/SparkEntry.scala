@@ -76,6 +76,11 @@ object SparkEntry {
       Windows.sliding(Pipeline.events(s, clips(s, dir)))),
     "w_session" -> ((s, dir) =>
       Windows.session(Pipeline.events(s, clips(s, dir)))),
+    // Salted two-phase window aggregate: identical results to w_tumbling
+    // (same oracle) with the wide exchange spread over 16 sub-keys — the
+    // skew answer for hot event keys (70% of rows share one sr_hz).
+    "w_tumbling_salted" -> ((s, dir) =>
+      graft.operators.Salting.tumblingSalted(Pipeline.events(s, clips(s, dir)))),
     // A-then-B-within-T sequence detection (batch form of the CEP machine)
     "cep_sequence" -> ((s, dir) =>
       Cep.detectBatch(Pipeline.events(s, clips(s, dir)))),
@@ -135,6 +140,7 @@ SELECT clip_id, codec,
   END AS n_samples
 FROM clips"""),
     "w_tumbling" -> Oracles.withEvents(Windows.tumblingSql),
+    "w_tumbling_salted" -> Oracles.withEvents(Windows.tumblingSql),
     "w_sliding" -> Oracles.withEvents(Windows.slidingSql),
     "w_session" -> Oracles.withEvents(Windows.sessionSql),
     "cep_sequence" -> Oracles.withEvents(Cep.detectSql()),

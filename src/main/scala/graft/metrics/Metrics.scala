@@ -21,11 +21,17 @@ object Metrics {
   def observeEvents(events: DataFrame): DataFrame =
     events.observe(ObservationName,
       count(lit(1)).as("outgoing_events_total"),
-      count_distinct(col("clip_id")).as("expanded_clips_total"),
+      // DISTINCT is not allowed in observed metrics → HLL sketch instead
+      approx_count_distinct(col("clip_id")).as("expanded_clips_approx"),
       sum(round(col("risk_score") * 10).cast("bigint")).as("risk_x10_total"))
 
-  /** Collects observed metrics per (queryName → batchId). */
-  final class Listener extends StreamingQueryListener {
+  /** Collects observed metrics per batchId; when `persistRoot` is given,
+    * each batch's counters are also written as
+    * `<root>/metrics/batch-<id>.json` beside the commit manifests (the
+    * observed metrics only materialize AFTER the micro-batch completes, so
+    * they cannot ride inside the manifest itself — the lineage/row counts
+    * there are exact regardless). */
+  final class Listener(persistRoot: Option[String] = None) extends StreamingQueryListener {
     val byBatch: TrieMap[Long, Map[String, Long]] = TrieMap.empty
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -37,6 +43,15 @@ object Metrics {
           f -> (if (row.isNullAt(i)) 0L else row.getLong(i))
         }.toMap
         byBatch.put(e.progress.batchId, m)
+        persistRoot.foreach { root =>
+          val dir = java.nio.file.Paths.get(root, "metrics")
+          java.nio.file.Files.createDirectories(dir)
+          val json = m.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""$k":$v""" }
+            .mkString(s"""{"batchId":${e.progress.batchId},"inputRows":${e.progress.numInputRows},""", ",", "}")
+          java.nio.file.Files.write(dir.resolve(s"batch-${e.progress.batchId}.json"),
+            json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
       }
     }
   }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Explicit skew handling (north rule: "skew from hot codec/sr_hz
+  * partitions is handled explicitly via salted repartition and AQE
+  * skew-join splitting").
+  *
+  * The clip fixture is deliberately skewed (FIXTURES §1: 70% sr_hz=16000,
+  * 80% codec=pcm_s16le, and only ~8 distinct event keys), so a plain
+  * `groupBy(hot_key)` funnels most rows through a handful of reducers.
+  * The salted two-phase aggregate spreads each hot key over S sub-keys:
+  * partial aggregate on (key, salt) — S× the reducers — then a cheap final
+  * merge on the key. Results are IDENTICAL to the unsalted aggregate
+  * (verified by the shared DuckDB oracle), only the exchange layout
+  * changes. For joins, AQE skew-split is enabled in the session config.
+  */
+object Salting {
+
+  /** Deterministic salt in [0, buckets) — hash of the row's clip_id so the
+    * same row always lands in the same sub-key (replay-stable). */
+  def salt(buckets: Int) = pmod(hash(col("clip_id")), lit(buckets))
+
+  /** Salted tumbling-window aggregate: identical results to
+    * [[Windows.tumbling]], but the wide exchange keys on
+    * (window, event_key, salt) so a hot key spreads over `buckets`
+    * reducers; the final merge on (window, event_key) sees only
+    * `buckets` pre-aggregated rows per key. */
+  def tumblingSalted(events: DataFrame, buckets: Int = 16): DataFrame = {
+    val partial = events
+      .withColumn("_salt", salt(buckets))
+      .groupBy(window(col("event_time"), "10 minutes"), col("event_key"), col("_salt"))
+      .agg(
+        count(lit(1)).as("p_events"),
+        sum(round(col("risk_score") * 10).cast("bigint")).as("p_risk"),
+        collect_set(col("clip_id")).as("p_clips"))
+    partial
+      .groupBy(col("window"), col("event_key"))
+      .agg(
+        sum(col("p_events")).as("n_events"),
+        sum(col("p_risk")).as("risk_x10"),
+        // exact distinct via merged sets to stay oracle-comparable; at
+        // 10^12 scale swap for approx_count_distinct (mergeable HLL)
+        size(array_distinct(flatten(collect_list(col("p_clips"))))).cast("bigint").as("n_clips"))
+      .select(Windows.epochS(col("window.start")).as("window_start_s"),
+        col("event_key"), col("n_events"), col("n_clips"), col("risk_x10"))
+  }
+}

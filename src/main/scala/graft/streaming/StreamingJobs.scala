@@ -19,8 +19,9 @@ object StreamingJobs {
     * is a static broadcast dimension → stream-static join, stateless, no
     * shuffle; the whole normalize/classify/enrich stage scales linearly
     * with executors (the reference's "scale up replicas" model). */
-  def events(spark: SparkSession, clipStream: DataFrame): DataFrame =
-    Pipeline.events(spark, clipStream)
+  def events(spark: SparkSession, clipStream: DataFrame,
+             statusFilter: Seq[String] = Nil): DataFrame =
+    Pipeline.events(spark, clipStream, statusFilter)
 
   /** Watermarked tumbling-window aggregate (append mode: windows emit once
     * finalized; late rows beyond the watermark are dropped). */

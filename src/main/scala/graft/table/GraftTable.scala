@@ -73,6 +73,20 @@ final class GraftTable(val root: String) {
     else spark.read.parquet(files: _*)
   }
 
+  /** Incremental streaming read over the table (S1 analog: the unbounded
+    * change stream). Implemented as a file stream over data/ — new commits
+    * appear as new files and flow into downstream queries. Caveat: a
+    * crashed writer's not-yet-committed files are visible to this simple
+    * reader (manifest-gated reads need a DataSourceV2 MicroBatchStream —
+    * planned); the exactly-once DOWNSTREAM sink still dedupes by batchId. */
+  def readStream(spark: SparkSession, maxFilesPerTrigger: Int = 32): DataFrame = {
+    val schema = read(spark).schema
+    require(schema.nonEmpty, s"cannot infer schema: no committed batches in $root")
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"$root/data")
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

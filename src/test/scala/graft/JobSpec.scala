@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+import graft.table.GraftTable
+
+/** Job entry point (C1 config validation) + table-as-source streaming. */
+class JobSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("Main.parseArgs validates required args and status filter (C1)") {
+    assert(Main.parseArgs(Array("--input", "i", "--output", "o", "--checkpoint", "c")).isRight)
+    assert(Main.parseArgs(Array("--input", "i")).isLeft)
+    assert(Main.parseArgs(Array("--bogus")).isLeft)
+    val bad = Main.parseArgs(Array("--input", "i", "--output", "o",
+      "--checkpoint", "c", "--status-filter", "fail,Pass"))
+    assert(bad.isLeft && bad.left.exists(_.contains("Pass")))
+    val ok = Main.parseArgs(Array("--input", "i", "--output", "o",
+      "--checkpoint", "c", "--status-filter", "fail,error"))
+    assert(ok.exists(_.statusFilter == Seq("fail", "error")))
+  }
+
+  test("GraftTable streaming source: table-to-table streaming pipeline") {
+    val s = spark
+    import s.implicits._
+    val srcRoot = Files.createTempDirectory("tbl_src").toString
+    val dstRoot = Files.createTempDirectory("tbl_dst").toString
+    val ckpt = Files.createTempDirectory("tbl_ckpt").toString
+    val src = new GraftTable(srcRoot)
+    val dst = new GraftTable(dstRoot)
+
+    def clips(from: Int, to: Int) = (from until to)
+      .map(i => Clip(f"clip-t${i % 3}-s0-$i%010d", 16000, 300, "wav",
+        "login ok", TestSpark.T0, 1L, i.toLong)).toDF()
+
+    src.commit(clips(0, 20), 0L)
+    src.commit(clips(20, 30), 1L)
+
+    val stream = src.readStream(s)
+    val q = graft.streaming.StreamingJobs.events(s, stream)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(new graft.table.ExactlyOnceSink(dst).write _)
+      .start()
+    q.processAllAvailable()
+    // a NEW upstream commit flows through incrementally
+    src.commit(clips(30, 40), 2L)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(dst.read(s).count() == 40) // every clip matched exactly 1 rule
+    assert(dst.read(s).select("rule_id").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("r-login-ok"))
+  }
+
+  test("salted window aggregate equals the plain aggregate") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 200).map { i =>
+      (f"clip-t${i % 2}-s0-$i%010d", "wav",
+        if (i % 3 == 0) "access denied login ok" else "policy skipped")
+    }
+    val ev = Pipeline.events(s, TestSpark.clipsDf(rows))
+    val plain = graft.operators.Windows.tumbling(ev).orderBy("window_start_s", "event_key").collect()
+    val salted = graft.operators.Salting.tumblingSalted(ev).orderBy("window_start_s", "event_key").collect()
+    assert(plain.map(_.toSeq).toSeq == salted.map(_.toSeq).toSeq)
+  }
+}
