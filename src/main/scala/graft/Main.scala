@@ -25,7 +25,10 @@ object Main {
 
   final case class Config(input: String = "", output: String = "",
                           checkpoint: String = "", statusFilter: Seq[String] = Nil,
-                          maxFilesPerTrigger: Int = 32, once: Boolean = true)
+                          maxFilesPerTrigger: Int = 32, once: Boolean = true,
+                          job: String = "events")
+
+  val ValidJobs: Set[String] = Set("events", "windows", "sessions", "cep")
 
   def parseArgs(args: Array[String]): Either[String, Config] = {
     def loop(rest: List[String], c: Config): Either[String, Config] = rest match {
@@ -36,6 +39,7 @@ object Main {
       case "--status-filter" :: v :: t =>
         loop(t, c.copy(statusFilter = v.split(",").toSeq.filter(_.nonEmpty)))
       case "--max-files-per-trigger" :: v :: t => loop(t, c.copy(maxFilesPerTrigger = v.toInt))
+      case "--job" :: v :: t => loop(t, c.copy(job = v))
       case "--once" :: t => loop(t, c.copy(once = true))
       case "--continuous" :: t => loop(t, c.copy(once = false))
       case other :: _ => Left(s"unknown argument: $other")
@@ -43,6 +47,8 @@ object Main {
     loop(args.toList, Config()).flatMap { c =>
       if (c.input.isEmpty || c.output.isEmpty || c.checkpoint.isEmpty)
         Left("--input, --output and --checkpoint are required")
+      else if (!ValidJobs.contains(c.job))
+        Left(s"invalid --job '${c.job}' (valid: ${ValidJobs.mkString(",")})")
       else Rules.validateStatusFilter(c.statusFilter).map(_ => c)
     }
   }
@@ -72,8 +78,14 @@ object Main {
       .parquet(conf.input)
     val events = Metrics.observeEvents(
       StreamingJobs.events(spark, clips, conf.statusFilter))
+    val out = conf.job match {
+      case "windows"  => StreamingJobs.windowedCounts(events)
+      case "sessions" => StreamingJobs.sessionCounts(events)
+      case "cep"      => StreamingJobs.streamingCep(spark, events).toDF()
+      case _          => events
+    }
 
-    val q = events.writeStream
+    val q = out.writeStream
       .option("checkpointLocation", conf.checkpoint)
       .foreachBatch(sink.write _)
       .trigger(if (conf.once) Trigger.AvailableNow() else Trigger.ProcessingTime("1 second"))

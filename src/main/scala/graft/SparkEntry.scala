@@ -61,6 +61,22 @@ object SparkEntry {
           octet_length(col("bytes")).cast("bigint").as("bytes_len"),
           size(col("pcm")).cast("bigint").as("n_samples"))
     }),
+    // E3 prefix-projected attribute copy (reference copyK8sFields,
+    // processor.go:625-671): clip metadata as a MapType attribute bag;
+    // keep only the 'clip.'-prefixed keys (map_filter), overlay derived
+    // attributes (map_concat), emit as exploded rows.
+    "e3_attr_prefix_copy" -> ((s, dir) => {
+      val attrs = map(
+        lit("clip.codec"), col("codec"),
+        lit("clip.sr_hz"), col("sr_hz").cast("string"),
+        lit("clip.tenant"), col("tenant_id").cast("string"),
+        lit("meta.origin"), lit("synthetic"),
+        lit("meta.junk"), lit("x"))
+      val kept = map_filter(attrs, (k, _) => k.startsWith("clip."))
+      val derived = map(lit("clip.key"), coalesce(Pipeline.eventKey(col("clip_id")), lit("")))
+      clips(s, dir)
+        .select(col("clip_id"), explode(map_concat(kept, derived)).as(Seq("attr_key", "attr_value")))
+    }),
     // E1 owner-reference workload extraction (higher-order array functions)
     "e1_owner_refs" -> ((s, dir) => {
       val withRefs = ClipTable.withOwnerRefs(clips(s, dir))
@@ -131,6 +147,14 @@ object SparkEntry {
     "a1_counters" -> Oracles.countersSql,
     "e2_event_key" -> Oracles.eventKeySql,
     "e1_owner_refs" -> Oracles.ownerRefsSql,
+    "e3_attr_prefix_copy" -> (ClipTable.oraclePrelude + """
+SELECT clip_id, 'clip.codec' AS attr_key, codec AS attr_value FROM clips
+UNION ALL SELECT clip_id, 'clip.sr_hz', CAST(sr_hz AS STRING) FROM clips
+UNION ALL SELECT clip_id, 'clip.tenant', CAST(tenant_id AS STRING) FROM clips
+UNION ALL SELECT clip_id, 'clip.key',
+  COALESCE(CASE WHEN len(string_split(clip_id,'-')) >= 3 THEN
+    array_to_string(list_slice(string_split(clip_id,'-'), 1, len(string_split(clip_id,'-')) - 2), '-')
+  END, '') FROM clips"""),
     "pcm_decode_meta" -> (ClipTable.oraclePrelude + """
 SELECT clip_id, codec,
   CASE WHEN codec = 'pcm_s16le' THEN 2 * ((CAST(sr_hz AS BIGINT) * dur_ms) // 1000)

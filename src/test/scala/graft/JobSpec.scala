@@ -20,6 +20,10 @@ class JobSpec extends AnyFunSuite {
     val ok = Main.parseArgs(Array("--input", "i", "--output", "o",
       "--checkpoint", "c", "--status-filter", "fail,error"))
     assert(ok.exists(_.statusFilter == Seq("fail", "error")))
+    assert(Main.parseArgs(Array("--input", "i", "--output", "o",
+      "--checkpoint", "c", "--job", "bogus")).isLeft)
+    assert(Main.parseArgs(Array("--input", "i", "--output", "o",
+      "--checkpoint", "c", "--job", "cep")).exists(_.job == "cep"))
   }
 
   test("GraftTable streaming source: table-to-table streaming pipeline") {

@@ -103,6 +103,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked streaming session window (30-minute gap)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Clip]
+    val q = StreamingJobs.sessionCounts(StreamingJobs.events(s, ms.toDF()), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      // two events 20min apart (same session), then a 40min gap (new session)
+      ms.addData(
+        clip("clip-t7-s0-0000000001", "login ok", "2025-09-19 10:00:00", 1),
+        clip("clip-t7-s0-0000000002", "login ok", "2025-09-19 10:20:00", 2),
+        clip("clip-t7-s0-0000000003", "login ok", "2025-09-19 11:00:00", 3))
+      q.processAllAvailable()
+      // advance watermark far enough to finalize both sessions
+      ms.addData(clip("clip-t7-s0-0000000004", "login ok", "2025-09-19 14:00:00", 4))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT session_start, session_end, n_events FROM sess_out ORDER BY session_start")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Timestamp]("session_start") == ts("2025-09-19 10:00:00"))
+      assert(rows(0).getAs[Timestamp]("session_end") == ts("2025-09-19 10:50:00")) // last+gap
+      assert(rows(0).getAs[Long]("n_events") == 2)
+      assert(rows(1).getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
   test("watermarked stream-stream interval join") {
     val s = spark
     import s.implicits._
