@@ -87,6 +87,10 @@ object Bench {
             .withColumn("pcm", pcm_decode(col("bytes"), col("codec")))
             .select(col("clip_id"), col("sr_hz"),
               expr("aggregate(transform(pcm, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v)").as("energy"))
+        case "cep" =>
+          // stateful path: shuffle on event_key + flatMapGroupsWithState;
+          // measures the state-store/shuffle scaling, not just the map side
+          StreamingJobs.streamingCep(spark, StreamingJobs.events(spark, stream)).toDF()
         case _ => StreamingJobs.events(spark, stream)
       }
       val writer = transformed.writeStream.option("checkpointLocation", ckpt)
@@ -146,26 +150,27 @@ object Bench {
           java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
         val loadBefore = loadAvg
         runPipeline(32, inputDir, nClips, mode) // JIT/page-cache warmup (untimed)
-        val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
+        val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
         // Two N→4N pairs: 8→32 uses the whole box (sensitive to neighbor
         // load — this host routinely runs 10-14 cores of other tenants),
         // 2→8 fits inside the spare capacity and isolates the engine's own
-        // scaling. Best-of-trials per level.
-        val samples = (1 to trials).map { _ =>
+        // scaling. Best-of-trials per level; the slow local[2] level runs
+        // once (it is also the least noise-exposed).
+        val samples = (1 to trials).map { i =>
           (runPipeline(32, inputDir, nClips, mode),
             runPipeline(8, inputDir, nClips, mode),
-            runPipeline(2, inputDir, nClips, mode))
+            if (i == 1) Some(runPipeline(2, inputDir, nClips, mode)) else None)
         }
         val thr32 = samples.map(_._1).max
         val thr8 = samples.map(_._2).max
-        val thr2 = samples.map(_._3).max
+        val thr2 = samples.flatMap(_._3).max
         val eff832 = (thr32 / thr8) / 4.0
         val eff28 = (thr8 / thr2) / 4.0
         val loadAfter = loadAvg
         // free the tmpfs space for the next round
         import scala.sys.process._
         Seq("rm", "-rf", "/dev/shm/graft_bench").!
-        f"""{"n_clips":$nClips,"clips_per_sec_local2":${thr2}%.1f,"clips_per_sec_local8":${thr8}%.1f,"clips_per_sec_local32":${thr32}%.1f,"scaling_efficiency":${eff832}%.3f,"scaling_efficiency_2_to_8":${eff28}%.3f,"trials_local2":[${samples.map(s => f"${s._3}%.0f").mkString(",")}],"trials_local8":[${samples.map(s => f"${s._2}%.0f").mkString(",")}],"trials_local32":[${samples.map(s => f"${s._1}%.0f").mkString(",")}],"host_load_avg_before":$loadBefore%.1f,"host_load_avg_after":$loadAfter%.1f}"""
+        f"""{"n_clips":$nClips,"clips_per_sec_local2":${thr2}%.1f,"clips_per_sec_local8":${thr8}%.1f,"clips_per_sec_local32":${thr32}%.1f,"scaling_efficiency":${eff832}%.3f,"scaling_efficiency_2_to_8":${eff28}%.3f,"trials_local2":[${samples.flatMap(_._3).map(v => f"$v%.0f").mkString(",")}],"trials_local8":[${samples.map(s => f"${s._2}%.0f").mkString(",")}],"trials_local32":[${samples.map(s => f"${s._1}%.0f").mkString(",")}],"host_load_avg_before":$loadBefore%.1f,"host_load_avg_after":$loadAfter%.1f}"""
       }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

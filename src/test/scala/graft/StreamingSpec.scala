@@ -173,6 +173,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.read(s).count() == 3)
   }
 
+  test("GraftTable: empty-batch commit is recorded and readable") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_empty").toString)
+    assert(t.commit(Seq.empty[(Int, String)].toDF("id", "v"), 0L))
+    assert(t.committedBatchIds == Set(0L))
+    assert(t.committedRows == 0)
+    assert(t.read(s).isEmpty)
+    val d = Seq((1, "a")).toDF("id", "v")
+    assert(t.commit(d, 1L))
+    assert(t.read(s).count() == 1)
+  }
+
   test("exactly-once sink: checkpoint resume yields identical output rows") {
     val s = spark
     import s.implicits._
