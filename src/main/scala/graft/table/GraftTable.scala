@@ -74,17 +74,16 @@ final class GraftTable(val root: String) {
   }
 
   /** Incremental streaming read over the table (S1 analog: the unbounded
-    * change stream). Implemented as a file stream over data/ — new commits
-    * appear as new files and flow into downstream queries. Caveat: a
-    * crashed writer's not-yet-committed files are visible to this simple
-    * reader (manifest-gated reads need a DataSourceV2 MicroBatchStream —
-    * planned); the exactly-once DOWNSTREAM sink still dedupes by batchId. */
+    * change stream). Reads the published/ directory, which contains
+    * hardlinks created only AFTER a snapshot commit — so the stream is
+    * manifest-gated: a crashed writer's half-written batch dir under
+    * data/ is never visible here. */
   def readStream(spark: SparkSession, maxFilesPerTrigger: Int = 32): DataFrame = {
     val schema = read(spark).schema
     require(schema.nonEmpty, s"cannot infer schema: no committed batches in $root")
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(s"$root/data")
+      .parquet(s"$root/published")
   }
 
   private def jsonStr(s: String): String =
@@ -128,7 +127,28 @@ final class GraftTable(val root: String) {
     writeAtomic(p("snapshots", s"v${v + 1}.json"),
       s"""{"version":${v + 1},"manifests":$manifestsJson}""")
     writeAtomic(p("VERSION"), (v + 1).toString)
+    publishCommitted()
     true
+  }
+
+  /** Manifest-gated publication for streaming readers: hardlink every
+    * file of every COMMITTED manifest into published/ AFTER the snapshot
+    * pointer swap. A crashed writer's half-written batch never appears
+    * here; a crash between swap and linking is repaired by the next
+    * commit (idempotent re-link of all committed files). */
+  private def publishCommitted(): Unit = {
+    val pub = p("published")
+    Files.createDirectories(pub)
+    snapshotManifests(version).foreach { m =>
+      val batchId = m.stripPrefix("manifest-").stripSuffix(".json")
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readAllBytes(p("manifests", m)))
+      node.get("files").elements().asScala.foreach { f =>
+        val src = Paths.get(f.get("path").asText())
+        val dst = pub.resolve(s"b$batchId-${src.getFileName}")
+        if (!Files.exists(dst)) Files.createLink(dst, src)
+      }
+    }
   }
 
   /** Total committed row count straight from manifests (no data scan). */

@@ -59,6 +59,20 @@ class JobSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq == Seq("r-login-ok"))
   }
 
+  test("streaming source is manifest-gated: uncommitted data files invisible") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("tbl_gated").toString
+    val t = new GraftTable(root)
+    t.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), 0L)
+    // crashed-writer remnant: data files with NO manifest/commit
+    Seq((99, "junk")).toDF("id", "v").write.parquet(s"$root/data/batch=77")
+    val q = t.readStream(s).writeStream.format("memory").queryName("gated_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.sql("SELECT id FROM gated_out").collect().map(_.getInt(0)).sorted
+    assert(got.toSeq == Seq(1, 2)) // 99 never appears
+  }
+
   test("salted window aggregate equals the plain aggregate") {
     val s = spark
     import s.implicits._
