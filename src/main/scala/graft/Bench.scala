@@ -139,7 +139,7 @@ object Bench {
         val inputDir = "/dev/shm/graft_bench/input"
         val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "sink")
         val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE",
-          if (mode == "audio") "10" else "20").toInt
+          if (mode == "audio") "3" else "20").toInt
         val nClips = stageInput(spark, sfDir, inputDir, replicate)
         spark.stop()
         // The sandbox host is shared: load-average spikes from other

@@ -26,7 +26,7 @@ object Main {
   final case class Config(input: String = "", output: String = "",
                           checkpoint: String = "", statusFilter: Seq[String] = Nil,
                           maxFilesPerTrigger: Int = 32, once: Boolean = true,
-                          job: String = "events")
+                          job: String = "events", rocksdb: Boolean = false)
 
   val ValidJobs: Set[String] = Set("events", "windows", "sessions", "cep")
 
@@ -40,6 +40,7 @@ object Main {
         loop(t, c.copy(statusFilter = v.split(",").toSeq.filter(_.nonEmpty)))
       case "--max-files-per-trigger" :: v :: t => loop(t, c.copy(maxFilesPerTrigger = v.toInt))
       case "--job" :: v :: t => loop(t, c.copy(job = v))
+      case "--rocksdb" :: t => loop(t, c.copy(rocksdb = true))
       case "--once" :: t => loop(t, c.copy(once = true))
       case "--continuous" :: t => loop(t, c.copy(once = false))
       case other :: _ => Left(s"unknown argument: $other")
@@ -55,11 +56,17 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val conf = parseArgs(args).fold(e => { System.err.println(s"[graft] $e"); sys.exit(2) }, identity)
-    val builder = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .appName("graft-streaming-cep")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // At 10^12-clip scale CEP/join state outgrows executor heaps — RocksDB
+    // state store spills to local disk with incremental checkpointing.
+    val builder = if (conf.rocksdb)
+      builder0.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else builder0
     // spark-submit injects spark.master; default to local when run directly
     val spark = (if (sys.props.contains("spark.master")) builder
       else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))

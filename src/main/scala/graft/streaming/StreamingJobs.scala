@@ -21,7 +21,10 @@ object StreamingJobs {
     * with executors (the reference's "scale up replicas" model). */
   def events(spark: SparkSession, clipStream: DataFrame,
              statusFilter: Seq[String] = Nil): DataFrame =
+    // watermarks demand TIMESTAMP (LTZ); parquet sources may carry NTZ —
+    // the cast preserves wall time under the engine's UTC session TZ
     Pipeline.events(spark, clipStream, statusFilter)
+      .withColumn("event_time", col("event_time").cast("timestamp"))
 
   /** Watermarked tumbling-window aggregate (append mode: windows emit once
     * finalized; late rows beyond the watermark are dropped). */
