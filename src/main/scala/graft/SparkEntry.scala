@@ -104,6 +104,14 @@ object SparkEntry {
     "j_interval" -> ((s, dir) =>
       IntervalJoin.join(Pipeline.events(s, clips(s, dir)),
         IntervalJoin.activations(s, dir))),
+    // Sorts / limits / top-k: global top-20 events by risk with a
+    // deterministic tiebreak (TakeOrderedAndProject physical op — no full
+    // sort, per-partition heaps + driver merge).
+    "q_topk_risk" -> ((s, dir) =>
+      Pipeline.events(s, clips(s, dir))
+        .select(col("event_uid"), col("clip_id"), col("rule_id"), col("risk_score"))
+        .orderBy(col("risk_score").desc, col("event_uid").asc)
+        .limit(20)),
     // ---- training-data pipeline ops over documents/embeddings ----
     "txt_quality" -> ((s, dir) => TextOps.quality(TextOps.docs(s, dir))),
     "txt_langid" -> ((s, dir) => TextOps.langId(TextOps.docs(s, dir))),
@@ -168,6 +176,9 @@ FROM clips"""),
     "w_sliding" -> Oracles.withEvents(Windows.slidingSql),
     "w_session" -> Oracles.withEvents(Windows.sessionSql),
     "cep_sequence" -> Oracles.withEvents(Cep.detectSql()),
+    "q_topk_risk" -> Oracles.withEvents("""
+SELECT event_uid, clip_id, rule_id, risk_score FROM ev
+ORDER BY risk_score DESC, event_uid ASC LIMIT 20"""),
     "txt_quality" -> TextOps.qualitySql,
     "txt_langid" -> TextOps.langIdSql,
     "txt_tokens" -> TextOps.tokenCountsSql,

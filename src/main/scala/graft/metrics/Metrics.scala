@@ -39,9 +39,14 @@ object Metrics {
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val om = e.progress.observedMetrics.asScala.get(ObservationName)
       om.foreach { row =>
-        val m = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+        val observed = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
           f -> (if (row.isNullAt(i)) 0L else row.getLong(i))
         }.toMap
+        // A1 dropped_logs_total analog for streaming: late rows discarded
+        // by the watermark, from the engine's state-operator metrics
+        val dropped = e.progress.stateOperators
+          .map(_.numRowsDroppedByWatermark).sum
+        val m = observed + ("rows_dropped_by_watermark" -> dropped)
         byBatch.put(e.progress.batchId, m)
         persistRoot.foreach { root =>
           val dir = java.nio.file.Paths.get(root, "metrics")

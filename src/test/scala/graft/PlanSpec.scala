@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{IntervalJoin, Pipeline, Windows}
+import graft.audio.ClipTable
+
+/** Plan-shape regressions: the physical plans the engine RELIES on for
+  * scale must not silently degrade (a broadcast flipping to a shuffle, a
+  * partial aggregate disappearing, a projection stopping column pruning).
+  * String-matching executed plans is blunt but catches exactly the
+  * regressions that matter at 100 TB. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("events pipeline: broadcast rule join, zero data shuffles") {
+    val plan = planOf(Pipeline.events(spark, ClipTable.clips(spark, sf)))
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    // the only exchange allowed is the broadcast of the rule dimension
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in the map-only pipeline:\n$plan")
+  }
+
+  test("events pipeline: column pruning reaches the parquet scan") {
+    val plan = planOf(Pipeline.events(spark, ClipTable.clips(spark, sf)))
+    // the clip derivation needs only these three source columns
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint>"),
+      s"scan reads more than the 3 needed columns:\n$plan")
+  }
+
+  test("tumbling window: partial+final hash aggregation") {
+    val plan = planOf(Windows.tumbling(Pipeline.events(spark, ClipTable.clips(spark, sf))))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"missing partial/final agg split:\n$plan")
+  }
+
+  test("interval join: small activation side is broadcast, filters pushed") {
+    val plan = planOf(IntervalJoin.join(
+      Pipeline.events(spark, ClipTable.clips(spark, sf)),
+      IntervalJoin.activations(spark, sf)))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("PushedFilters: [IsNotNull("),
+      s"no pushed filters on the activation scan:\n$plan")
+  }
+
+  test("top-k uses TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("q_topk_risk")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort for a LIMIT query:\n$plan")
+  }
+}

@@ -103,6 +103,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked streaming sliding window (10 min / 5 min)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Clip]
+    val agg = StreamingJobs.events(s, ms.toDF())
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "10 minutes", "5 minutes"), col("event_key"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_key"), col("n_events"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("slide_out").start()
+    try {
+      ms.addData(clip("clip-t5-s0-0000000001", "login ok", "2025-09-19 10:07:00", 1))
+      q.processAllAvailable()
+      ms.addData(clip("clip-t5-s0-0000000002", "login ok", "2025-09-19 12:00:00", 2))
+      q.processAllAvailable()
+      val starts = s.sql("SELECT window_start FROM slide_out WHERE event_key = 'clip-t5'")
+        .collect().map(_.getAs[Timestamp]("window_start")).sorted.toSeq
+      // one event at 10:07 belongs to exactly the 10:00 and 10:05 windows
+      assert(starts == Seq(ts("2025-09-19 10:00:00"), ts("2025-09-19 10:05:00")))
+    } finally q.stop()
+  }
+
   test("watermarked streaming session window (30-minute gap)") {
     val s = spark
     import s.implicits._
