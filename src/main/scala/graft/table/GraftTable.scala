@@ -67,8 +67,19 @@ final class GraftTable(val root: String) {
     }
   }
 
-  def read(spark: SparkSession): DataFrame = {
-    val files = dataFiles
+  def read(spark: SparkSession): DataFrame = readVersion(spark, version)
+
+  /** Time travel: read the table exactly as of snapshot `v` (snapshots are
+    * immutable manifest lists, so any historical version stays readable). */
+  def readVersion(spark: SparkSession, v: Long): DataFrame = {
+    require(v >= 0 && v <= version, s"snapshot v$v does not exist (latest: v$version)")
+    val files = synchronized {
+      snapshotManifests(v).flatMap { m =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readAllBytes(p("manifests", m)))
+        node.get("files").elements().asScala.map(f => f.get("path").asText()).toSeq
+      }
+    }
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files: _*)
   }

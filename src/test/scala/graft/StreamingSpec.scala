@@ -197,6 +197,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.read(s).count() == 3)
   }
 
+  test("CEP state is evicted by event-time timeout: stale armed A cannot fire") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Clip]
+    val q = StreamingJobs.streamingCep(s, StreamingJobs.events(s, ms.toDF()))
+      .writeStream.outputMode("append").format("memory").queryName("cep_evict").start()
+    try {
+      // arm key clip-e1 at 10:01 (A event-time = clip ts + 60s)
+      ms.addData(clip("clip-e1-s0-0000000001", "access denied", "2025-09-19 10:00:00", 1))
+      q.processAllAvailable()
+      // push the watermark (1h) far past the armed A's T=1h horizon
+      ms.addData(clip("clip-zz-s0-0000000002", "login ok", "2025-09-19 20:00:00", 2))
+      q.processAllAvailable()
+      // B for clip-e1 arrives very late; A is both expired (>T) and evicted
+      ms.addData(clip("clip-e1-s0-0000000003", "privilege escalation", "2025-09-19 20:30:00", 3))
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM cep_evict").count() == 0)
+    } finally q.stop()
+  }
+
+  test("GraftTable time travel: historical snapshots stay readable") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_tt").toString)
+    t.commit(Seq((1, "a")).toDF("id", "v"), 0L)
+    t.commit(Seq((2, "b"), (3, "c")).toDF("id", "v"), 1L)
+    assert(t.readVersion(s, 0).isEmpty)             // empty table pre-commits
+    assert(t.readVersion(s, 1).count() == 1)
+    assert(t.readVersion(s, 2).count() == 3)
+    assert(t.read(s).count() == 3)
+    intercept[IllegalArgumentException](t.readVersion(s, 99))
+  }
+
   test("GraftTable: empty-batch commit is recorded and readable") {
     val s = spark
     import s.implicits._
