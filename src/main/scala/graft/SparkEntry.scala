@@ -104,6 +104,15 @@ object SparkEntry {
     "j_interval" -> ((s, dir) =>
       IntervalJoin.join(Pipeline.events(s, clips(s, dir)),
         IntervalJoin.activations(s, dir))),
+    // Sketch aggregate: HLL approx-distinct per event key next to the
+    // exact count. Approx values are engine-specific → rows-only check;
+    // the ±5% error bound is pinned in PlanSpec. At 10^12 scale this (or
+    // the salted collect_set swap, see Salting) replaces exact distinct.
+    "agg_approx_distinct" -> ((s, dir) =>
+      Pipeline.events(s, clips(s, dir))
+        .groupBy(col("event_key"))
+        .agg(countDistinct(col("clip_id")).as("exact_clips"),
+          approx_count_distinct(col("clip_id"), 0.02).as("approx_clips"))),
     // Sorts / limits / top-k: global top-20 events by risk with a
     // deterministic tiebreak (TakeOrderedAndProject physical op — no full
     // sort, per-partition heaps + driver merge).

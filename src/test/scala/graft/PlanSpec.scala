@@ -47,6 +47,17 @@ class PlanSpec extends AnyFunSuite {
       s"no pushed filters on the activation scan:\n$plan")
   }
 
+  test("approx_count_distinct stays within 5% of exact") {
+    val rows = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_clips").toDouble
+      val approx = r.getAs[Long]("approx_clips").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"key=${r.getAs[String]("event_key")} exact=$exact approx=$approx")
+    }
+  }
+
   test("top-k uses TakeOrderedAndProject, not a global sort") {
     val df = SparkEntry.queries("q_topk_risk")(spark, sf)
     val plan = planOf(df)
