@@ -150,7 +150,7 @@ object Bench {
           java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
         val loadBefore = loadAvg
         runPipeline(32, inputDir, nClips, mode) // JIT/page-cache warmup (untimed)
-        val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+        val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
         // Two N→4N pairs: 8→32 uses the whole box (sensitive to neighbor
         // load — this host routinely runs 10-14 cores of other tenants),
         // 2→8 fits inside the spare capacity and isolates the engine's own

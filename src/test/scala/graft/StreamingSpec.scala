@@ -197,6 +197,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.read(s).count() == 3)
   }
 
+  test("golden replay with controlled disorder: windows match precomputed on-time aggregates") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // Seeded stream: 60 clips over 3 micro-batches; every 10th clip of
+    // batches 2-3 is LATE (event time far older than the watermark).
+    val rnd = new scala.util.Random(42)
+    def batch(b: Int): Seq[Clip] = (0 until 20).map { i =>
+      val idx = b * 20 + i
+      val late = b > 0 && i % 10 == 0
+      val minute = if (late) 0 else b * 60 + rnd.nextInt(30)
+      clip(f"clip-g${idx % 2}-s0-$idx%010d", "login ok",
+        f"2025-09-19 ${10 + minute / 60}%02d:${minute % 60}%02d:00", idx.toLong)
+    }
+    val batches = (0 until 3).map(batch)
+    val listener = new graft.metrics.Metrics.Listener()
+    s.streams.addListener(listener)
+    val ms = MemoryStream[Clip]
+    val events = graft.metrics.Metrics.observeEvents(StreamingJobs.events(s, ms.toDF()))
+    val q = StreamingJobs.windowedCounts(events, "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("golden_out").start()
+    try {
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      // close all windows
+      ms.addData(clip("clip-zz-s0-0000000099", "login ok", "2025-09-19 23:00:00", 999))
+      q.processAllAvailable()
+
+      // Expected: batch-compute the same aggregate over rows that were
+      // ON TIME relative to the stream's watermark progression.
+      // Watermark after batch b = max(event_time seen) - 10 minutes; the
+      // late rows (10:00:00 in batches 2-3) fall behind it by design.
+      val onTime = batches(0) ++ batches(1).filterNot(_.event_id % 10 == 0) ++
+        batches(2).filterNot(_.event_id % 10 == 0)
+      val expected = graft.operators.Windows
+        .tumbling(Pipeline.events(s, onTime.toDF()))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      // compare counts per (window, key) — the zz advancer contributes its
+      // own window, excluded from both sides
+      val gotMap = s.sql(
+        "SELECT unix_micros(window_start) DIV 1000000 AS ws, event_key, n_events " +
+          "FROM golden_out WHERE event_key != 'clip-zz'")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val expMap = expected.filter(_._1._2 != "clip-zz")
+      assert(gotMap == expMap)
+      // and the engine counted the dropped late data: the two late rows per
+      // batch share (window, key), so the map-side partial aggregate merges
+      // them into ONE state-operator input row before the watermark drop —
+      // numRowsDroppedByWatermark counts post-partial rows: 1 per late batch
+      val dropped = listener.byBatch.values.map(_.getOrElse("rows_dropped_by_watermark", 0L)).sum
+      assert(dropped == 2, s"expected 2 dropped post-partial rows, got $dropped (${listener.byBatch})")
+    } finally { q.stop(); s.streams.removeListener(listener) }
+  }
+
   test("CEP state is evicted by event-time timeout: stale armed A cannot fire") {
     val s = spark
     import s.implicits._
