@@ -113,7 +113,10 @@ object Bench {
       val steady = if (prog.length > 1) prog.drop(1) else prog
       val rates = steady.map(p =>
         p.numInputRows.toDouble / (p.durationMs.get("triggerExecution").longValue() / 1000.0)).sorted
-      rates(rates.length / 2)
+      if (rates.isEmpty) {
+        System.err.println(s"[bench] WARNING: no progress with rows > 0 from $inputDir — reporting 0.0")
+        0.0
+      } else rates(rates.length / 2)
     } finally spark.stop()
   }
 
@@ -150,32 +153,46 @@ object Bench {
           java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
         val loadBefore = loadAvg
         runPipeline(32, inputDir, nClips, mode) // JIT/page-cache warmup (untimed)
-        val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
+        val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
         // Two N→4N pairs: 8→32 uses the whole box (sensitive to neighbor
         // load — this host routinely runs 10-14 cores of other tenants),
         // 2→8 fits inside the spare capacity and isolates the engine's own
-        // scaling. Best-of-trials per level; the slow local[2] level runs
-        // once (it is also the least noise-exposed).
-        val samples = (1 to trials).map { i =>
-          (runPipeline(32, inputDir, nClips, mode),
-            runPipeline(8, inputDir, nClips, mode),
-            if (i == 1) Some(runPipeline(2, inputDir, nClips, mode)) else None)
+        // scaling. Trials are INTERLEAVED (32,8 alternating) so both levels
+        // see the same neighbor-load epochs; the headline efficiency is
+        // median-based, with best-of reported alongside as the noise-robust
+        // capacity estimate. local[2] runs once (slow, least noise-exposed).
+        val t32 = scala.collection.mutable.ArrayBuffer[Double]()
+        val t8 = scala.collection.mutable.ArrayBuffer[Double]()
+        val t2 = scala.collection.mutable.ArrayBuffer[Double]()
+        val loads = scala.collection.mutable.ArrayBuffer[Double]()
+        for (i <- 1 to trials) {
+          loads += loadAvg
+          t32 += runPipeline(32, inputDir, nClips, mode)
+          t8 += runPipeline(8, inputDir, nClips, mode)
+          if (i == 1) t2 += runPipeline(2, inputDir, nClips, mode)
         }
-        val thr32 = samples.map(_._1).max
-        val thr8 = samples.map(_._2).max
-        val thr2 = samples.flatMap(_._3).max
+        def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+        val thr32 = med(t32.toSeq); val thr8 = med(t8.toSeq); val thr2 = t2.max
         val eff832 = (thr32 / thr8) / 4.0
         val eff28 = (thr8 / thr2) / 4.0
+        val eff832best = (t32.max / t8.max) / 4.0
+        val eff28best = (t8.max / thr2) / 4.0
         val loadAfter = loadAvg
         // free the tmpfs space for the next round
         import scala.sys.process._
         Seq("rm", "-rf", "/dev/shm/graft_bench").!
-        f"""{"n_clips":$nClips,"clips_per_sec_local2":${thr2}%.1f,"clips_per_sec_local8":${thr8}%.1f,"clips_per_sec_local32":${thr32}%.1f,"scaling_efficiency":${eff832}%.3f,"scaling_efficiency_2_to_8":${eff28}%.3f,"trials_local2":[${samples.flatMap(_._3).map(v => f"$v%.0f").mkString(",")}],"trials_local8":[${samples.map(s => f"${s._2}%.0f").mkString(",")}],"trials_local32":[${samples.map(s => f"${s._1}%.0f").mkString(",")}],"host_load_avg_before":$loadBefore%.1f,"host_load_avg_after":$loadAfter%.1f}"""
+        def arr(xs: Seq[Double]) = xs.map(v => f"$v%.0f").mkString(",")
+        f"""{"n_clips":$nClips,"clips_per_sec_local2":${thr2}%.1f,"clips_per_sec_local8":${thr8}%.1f,"clips_per_sec_local32":${thr32}%.1f,"scaling_efficiency":${eff832}%.3f,"scaling_efficiency_best":${eff832best}%.3f,"scaling_efficiency_2_to_8":${eff28}%.3f,"scaling_efficiency_2_to_8_best":${eff28best}%.3f,"trials_local2":[${arr(t2.toSeq)}],"trials_local8":[${arr(t8.toSeq)}],"trials_local32":[${arr(t32.toSeq)}],"host_load_avg_per_trial":[${loads.map(v => f"$v%.1f").mkString(",")}],"host_load_avg_before":$loadBefore%.1f,"host_load_avg_after":$loadAfter%.1f}"""
       }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val totalStr = f"$total%.3f"
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","throughput":$throughputJson}""")
+    val json = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","throughput":$throughputJson}"""
+    // The driver parses the metric line from stdout, but sbt prefixes
+    // [info] to forked output (round 1: "parsed": null). Belt and braces:
+    // write the JSON to a well-known repo-root file AND print it bare.
+    Files.write(Paths.get("BENCH.json"), json.getBytes("UTF-8"))
+    println(json)
   }
 }

@@ -112,9 +112,9 @@ FROM clips WHERE codec IN ('pcm_s16le','wav') AND transcript IS NOT NULL"""
 ev AS (SELECT clip_id FROM decoded),
 per_clip AS (SELECT clip_id, COUNT(*) AS n FROM ev GROUP BY clip_id)
 SELECT COUNT(*) AS incoming_logs_total,
-       SUM(COALESCE(n, 0)) AS expanded_events_total,
-       SUM(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS passthrough_total,
-       SUM(COALESCE(n, 0)) + SUM(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS outgoing_logs_total,
+       CAST(SUM(COALESCE(n, 0)) AS BIGINT) AS expanded_events_total,
+       CAST(SUM(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS passthrough_total,
+       CAST(SUM(COALESCE(n, 0)) + SUM(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS outgoing_logs_total,
        CAST(0 AS BIGINT) AS dropped_logs_total
 FROM clips c LEFT JOIN per_clip p USING (clip_id)"""
   }
@@ -123,8 +123,8 @@ FROM clips c LEFT JOIN per_clip p USING (clip_id)"""
     ClipTable.oraclePrelude + """
 SELECT r.rule_id,
        COUNT(*) AS matched_total,
-       SUM(CASE WHEN json_valid(r.payload_json) THEN 1 ELSE 0 END) AS decoded_total,
-       SUM(CASE WHEN json_valid(r.payload_json) THEN 0 ELSE 1 END) AS skipped_total
+       CAST(SUM(CASE WHEN json_valid(r.payload_json) THEN 1 ELSE 0 END) AS BIGINT) AS decoded_total,
+       CAST(SUM(CASE WHEN json_valid(r.payload_json) THEN 0 ELSE 1 END) AS BIGINT) AS skipped_total
 FROM clips c JOIN rules r ON contains(c.transcript, r.pattern)
 WHERE c.codec IN ('pcm_s16le','wav') AND c.transcript IS NOT NULL
 GROUP BY r.rule_id"""

@@ -94,7 +94,7 @@ FROM documents"""
       .groupBy("doc_id").agg(sum(col("term")).as("fingerprint"))
 
   val fingerprintSql: String = """
-SELECT doc_id, SUM(CAST(i * (length(t) * 31 + ascii(t)) AS BIGINT)) AS fingerprint
+SELECT doc_id, CAST(SUM(CAST(i * (length(t) * 31 + ascii(t)) AS BIGINT)) AS BIGINT) AS fingerprint
 FROM (
   SELECT doc_id,
          unnest(string_split(text, ' ')) AS t,

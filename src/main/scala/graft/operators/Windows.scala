@@ -58,14 +58,14 @@ SELECT (epoch_us(event_time) // 1000000 // 600) * 600 AS window_start_s,
        event_key,
        COUNT(*) AS n_events,
        COUNT(DISTINCT clip_id) AS n_clips,
-       SUM(CAST(round(risk_score * 10) AS BIGINT)) AS risk_x10
+       CAST(SUM(CAST(round(risk_score * 10) AS BIGINT)) AS BIGINT) AS risk_x10
 FROM ev GROUP BY 1, 2"""
 
   val slidingSql: String = """
 SELECT ((epoch_us(event_time) // 1000000 // 300) * 300) - off AS window_start_s,
        event_key,
        COUNT(*) AS n_events,
-       SUM(CAST(round(risk_score * 10) AS BIGINT)) AS risk_x10
+       CAST(SUM(CAST(round(risk_score * 10) AS BIGINT)) AS BIGINT) AS risk_x10
 FROM ev CROSS JOIN (VALUES (0), (300)) AS offs(off)
 GROUP BY 1, 2"""
 

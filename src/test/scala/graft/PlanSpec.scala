@@ -63,4 +63,29 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(df)
     assert(plan.contains("TakeOrderedAndProject"), s"global sort for a LIMIT query:\n$plan")
   }
+
+  test("simhash pairs: band-bucket equi-join, never a nested-loop all-pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.operators.Dedup.simhashPairs(docs))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"simhash pair join degraded to an all-pairs plan:\n$plan")
+  }
+
+  test("minhash LSH verify is candidate-restricted (no co-shingled self-join)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.operators.Dedup.minhashLsh(docs)
+    // the round-1 defect: a shingle-shingle join guarded only by doc_id '<'
+    // computes exact Jaccard for EVERY co-shingled pair. After the fix, any
+    // join touching the shingle column must be a pure equi-join (candidate
+    // doc-id equality + shingle equality) — no '<' range predicate.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val badJoins = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.exists { c =>
+        val s = c.toString
+        s.contains("shingle") && s.contains("<")
+      } => j
+    }
+    assert(badJoins.isEmpty,
+      s"shingle join carries a non-equi doc_id predicate (full pair-space verify):\n${badJoins.mkString("\n")}")
+  }
 }
