@@ -105,14 +105,21 @@ object SparkEntry {
       IntervalJoin.join(Pipeline.events(s, clips(s, dir)),
         IntervalJoin.activations(s, dir))),
     // Sketch aggregate: HLL approx-distinct per event key next to the
-    // exact count. Approx values are engine-specific → rows-only check;
-    // the ±5% error bound is pinned in PlanSpec. At 10^12 scale this (or
-    // the salted collect_set swap, see Salting) replaces exact distinct.
+    // exact count. The sketch value itself is engine-specific, so the
+    // oracle-checked contract is (exact count, bounded-error flag): the
+    // approx must land within max(1, 5%) of exact — hash-checked against a
+    // constant-1 oracle column, so sketch drift fails the gate. At 10^12
+    // scale this sketch (or the salted collect_set swap, see Salting)
+    // replaces exact distinct.
     "agg_approx_distinct" -> ((s, dir) =>
       Pipeline.events(s, clips(s, dir))
         .groupBy(col("event_key"))
         .agg(countDistinct(col("clip_id")).as("exact_clips"),
-          approx_count_distinct(col("clip_id"), 0.02).as("approx_clips"))),
+          approx_count_distinct(col("clip_id"), 0.02).as("approx"))
+        .select(col("event_key"), col("exact_clips"),
+          when(abs(col("approx") - col("exact_clips")) <=
+            greatest(lit(1L), (col("exact_clips") * 5L) / 100L), 1L)
+            .otherwise(0L).as("approx_ok_5pct"))),
     // Sorts / limits / top-k: global top-20 events by risk with a
     // deterministic tiebreak (TakeOrderedAndProject physical op — no full
     // sort, per-partition heaps + driver merge).
@@ -136,20 +143,31 @@ object SparkEntry {
     "sim_ivf_bucket" -> ((s, dir) => Similarity.ivfTopNeighbor(Similarity.embeddings(s, dir))),
     // Multimodal plumbing: opaque binary + typed metadata → decode →
     // feature extraction (RMS/peak/frame sampling) via the registered
-    // Catalyst decode expression. Not SQL-expressible → rows-only check;
-    // SNR pinned in PcmSpec.
+    // Catalyst decode expression. The audio bytes never exist in DuckDB,
+    // so the oracle contract is the synth formula's deterministic
+    // integers: n_samples/n_frames arithmetic from (sr_hz, dur_ms), plus
+    // signal-content bands derived from the amplitude-0.5 sine (FIXTURES
+    // §1): RMS → 0.5/√2 within the partial-cycle bound 1/(2N·sin w)
+    // (N ≥ 3200 ⇒ rms_x1000 ∈ [350,358]) and peak → ~0.5 (the phase grid
+    // covers the full f/gcd residue cycle ⇒ peak_x1000 ∈ [495,501]). A
+    // decode defect (byte order, scale, container offset) lands far
+    // outside either band. Exact float values are pinned in PcmSpec (SNR).
     "mm_audio_features" -> ((s, dir) => {
       graft.functions.AudioFunctions.register(s)
       import graft.functions.AudioFunctions._
       clips(s, dir).filter(Pipeline.gate)
         .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
         .withColumn("pcm", pcm_decode(col("bytes"), col("codec")))
+        .withColumn("rms_x1000",
+          expr("CAST(round(1000 * sqrt(aggregate(transform(pcm, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v) / size(pcm))) AS BIGINT)"))
+        .withColumn("peak_x1000",
+          expr("CAST(round(1000 * array_max(transform(pcm, x -> abs(CAST(x AS DOUBLE))))) AS BIGINT)"))
         .select(col("clip_id"), col("sr_hz"), col("dur_ms"),
           size(col("pcm")).cast("bigint").as("n_samples"),
-          expr("CAST(round(1000 * sqrt(aggregate(transform(pcm, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v) / size(pcm))) AS BIGINT)").as("rms_x1000"),
-          expr("CAST(round(1000 * array_max(transform(pcm, x -> abs(CAST(x AS DOUBLE))))) AS BIGINT)").as("peak_x1000"),
           // frame sampling: one 20ms frame every 100ms → frame count
-          expr("CAST(size(pcm) div (sr_hz div 10) AS BIGINT)").as("n_frames_100ms"))
+          expr("CAST(size(pcm) div (sr_hz div 10) AS BIGINT)").as("n_frames_100ms"),
+          when(col("rms_x1000").between(350L, 358L), 1L).otherwise(0L).as("rms_ok"),
+          when(col("peak_x1000").between(495L, 501L), 1L).otherwise(0L).as("peak_ok"))
     }),
   )
 
@@ -202,5 +220,17 @@ ORDER BY risk_score DESC, event_uid ASC LIMIT 20"""),
     "sim_ivf_bucket" -> Similarity.ivfTopNeighborSql,
     "j_interval" -> (Oracles.prelude +
       s", ev AS (${Oracles.eventsSelect(Nil)}),\n${IntervalJoin.activationsSqlDuck.trim}\n${IntervalJoin.joinSqlDuck}"),
+    "agg_approx_distinct" -> Oracles.withEvents("""
+SELECT event_key, COUNT(DISTINCT clip_id) AS exact_clips,
+       CAST(1 AS BIGINT) AS approx_ok_5pct
+FROM ev GROUP BY event_key"""),
+    "mm_audio_features" -> (ClipTable.oraclePrelude + """
+SELECT clip_id, sr_hz, dur_ms,
+  (CAST(sr_hz AS BIGINT) * dur_ms) // 1000 AS n_samples,
+  ((CAST(sr_hz AS BIGINT) * dur_ms) // 1000) // (sr_hz // 10) AS n_frames_100ms,
+  CAST(1 AS BIGINT) AS rms_ok,
+  CAST(1 AS BIGINT) AS peak_ok
+FROM clips
+WHERE codec IN ('pcm_s16le','wav') AND transcript IS NOT NULL"""),
   )
 }

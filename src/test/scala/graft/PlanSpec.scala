@@ -51,10 +51,8 @@ class PlanSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val exact = r.getAs[Long]("exact_clips").toDouble
-      val approx = r.getAs[Long]("approx_clips").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"key=${r.getAs[String]("event_key")} exact=$exact approx=$approx")
+      assert(r.getAs[Long]("approx_ok_5pct") == 1L,
+        s"key=${r.getAs[String]("event_key")} exact=${r.getAs[Long]("exact_clips")} outside the 5% sketch bound")
     }
   }
 
