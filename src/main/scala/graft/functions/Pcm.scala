@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -124,39 +125,71 @@ object PcmCodec {
 }
 
 /** Catalyst expression: pcm_synth(freq_hz, sr_hz, dur_ms, codec) → binary.
-  * Deterministic (replay-stable), null-on-unsupported-codec. */
-case class PcmSynth(children: Seq[Expression]) extends Expression with CodegenFallback {
+  * Deterministic (replay-stable), null-on-unsupported-codec. Implements
+  * `doGenCode` (a static call into [[PcmCodec]]) so the synth stays inside
+  * WholeStageCodegen; `ImplicitCastInputTypes` lets the analyzer coerce
+  * integer frequencies instead of runtime type-matching. */
+case class PcmSynth(children: Seq[Expression])
+    extends Expression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, IntegerType, IntegerType, StringType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) return null
-    val freq = vs(0) match {
-      case d: java.lang.Double => d.doubleValue(); case i: java.lang.Integer => i.doubleValue()
-      case l: java.lang.Long => l.doubleValue(); case f: java.lang.Float => f.doubleValue()
-      case x => x.toString.toDouble
-    }
-    PcmCodec.synth(freq, vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Int], vs(3).toString)
+    PcmCodec.synth(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Int],
+      vs(2).asInstanceOf[Int], vs(3).toString)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gens = children.map(_.genCode(ctx))
+    val anyNull = gens.map(g => g.isNull.toString).filter(_ != "false")
+    val nullGuard = if (anyNull.isEmpty) "false" else anyNull.mkString(" || ")
+    val childCode = gens.map(_.code).reduce(_ + _)
+    ev.copy(code =
+      childCode +
+        code"""
+           |boolean ${ev.isNull} = true;
+           |byte[] ${ev.value} = null;
+           |if (!($nullGuard)) {
+           |  ${ev.value} = graft.functions.PcmCodec.synth(
+           |    ${gens(0).value}, ${gens(1).value}, ${gens(2).value}, ${gens(3).value}.toString());
+           |  ${ev.isNull} = (${ev.value} == null);
+           |}
+         """.stripMargin)
   }
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(children = newChildren)
 }
 
 /** Catalyst expression: pcm_decode(bytes, codec) → array<float>.
-  * The north rule's registered decode expression (SURVEY §2.2 UDF surface). */
-case class PcmDecode(left: Expression, right: Expression) extends Expression with CodegenFallback {
-  override def children: Seq[Expression] = Seq(left, right)
+  * The north rule's registered decode expression (SURVEY §2.2 UDF surface).
+  * Codegen'd: the decode loop runs behind one static call and the result is
+  * wrapped zero-copy-ish via UnsafeArrayData.fromPrimitiveArray. */
+case class PcmDecode(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullable: Boolean = true
-  override def eval(input: InternalRow): Any = {
-    val b = left.eval(input)
-    val c = right.eval(input)
-    if (b == null || c == null) return null
+  override protected def nullSafeEval(b: Any, c: Any): Any = {
     val decoded = PcmCodec.decode(b.asInstanceOf[Array[Byte]], c.toString)
     if (decoded == null) null else ArrayData.toArrayData(decoded)
   }
-  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
-    copy(left = newChildren(0), right = newChildren(1))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c) => {
+      val arr = ctx.freshName("pcm")
+      s"""
+         |final float[] $arr = graft.functions.PcmCodec.decode($b, $c.toString());
+         |if ($arr == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 object AudioFunctions {

@@ -1,9 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -13,9 +12,12 @@ import org.apache.spark.sql.types._
   * primitive loop over the ArrayData instead, while computing EXACTLY the
   * same left-fold double arithmetic as the DuckDB oracle's `list_reduce`
   * (bit-identical results, so the ×10000 rounding stays flake-free).
+  *
+  * Both implement `doGenCode`, so they stay inside WholeStageCodegen: the
+  * loop is spliced into the generated Java with no per-row boxing or
+  * interpreted-eval boundary (round-1 left them as CodegenFallback).
   */
-case class DotF(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class DotF(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -26,12 +28,26 @@ case class DotF(left: Expression, right: Expression)
     while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     acc
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 /** Sum of squares (squared L2 norm) of a float vector. */
-case class Norm2F(child: Expression) extends UnaryExpression with CodegenFallback {
+case class Norm2F(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -42,6 +58,22 @@ case class Norm2F(child: Expression) extends UnaryExpression with CodegenFallbac
     }
     acc
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $x.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $v = (double) $x.getFloat($i);
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
