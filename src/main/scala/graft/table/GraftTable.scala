@@ -58,6 +58,18 @@ final class GraftTable(val root: String) {
       .map(m => m.stripPrefix("manifest-").stripSuffix(".json").toLong).toSet
   }
 
+  /** Ordered manifest names of snapshot `v` (manifest k-1 is the one added
+    * by commit k — the V2 source's version→files resolution). */
+  def manifestsUpTo(v: Long): Seq[String] = synchronized { snapshotManifests(v) }
+
+  /** (path, rows) for every data file of one manifest. */
+  def manifestFileRows(name: String): Seq[(String, Long)] = synchronized {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(p("manifests", name)))
+    node.get("files").elements().asScala
+      .map(f => (f.get("path").asText(), f.get("rows").asLong())).toSeq
+  }
+
   /** Exact readable file list (manifest-controlled — never a dir glob). */
   def dataFiles: Seq[String] = synchronized {
     snapshotManifests(version).flatMap { m =>
@@ -85,17 +97,16 @@ final class GraftTable(val root: String) {
   }
 
   /** Incremental streaming read over the table (S1 analog: the unbounded
-    * change stream). Reads the published/ directory, which contains
-    * hardlinks created only AFTER a snapshot commit — so the stream is
-    * manifest-gated: a crashed writer's half-written batch dir under
-    * data/ is never visible here. */
-  def readStream(spark: SparkSession, maxFilesPerTrigger: Int = 32): DataFrame = {
-    val schema = read(spark).schema
-    require(schema.nonEmpty, s"cannot infer schema: no committed batches in $root")
-    spark.readStream.schema(schema)
+    * change stream), served by the DataSourceV2 [[GraftMicroBatchStream]]:
+    * offsets are snapshot versions and each micro-batch's file list comes
+    * from the manifests — a crashed writer's half-written batch dir under
+    * data/ is structurally invisible, nothing is copied or linked, and the
+    * offset log survives file renames/compaction (unlike the round-1
+    * hardlink `published/` directory this replaces). */
+  def readStream(spark: SparkSession, maxFilesPerTrigger: Int = 32): DataFrame =
+    spark.readStream.format(classOf[GraftSourceProvider].getName)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(s"$root/published")
-  }
+      .load(root)
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -138,28 +149,7 @@ final class GraftTable(val root: String) {
     writeAtomic(p("snapshots", s"v${v + 1}.json"),
       s"""{"version":${v + 1},"manifests":$manifestsJson}""")
     writeAtomic(p("VERSION"), (v + 1).toString)
-    publishCommitted()
     true
-  }
-
-  /** Manifest-gated publication for streaming readers: hardlink every
-    * file of every COMMITTED manifest into published/ AFTER the snapshot
-    * pointer swap. A crashed writer's half-written batch never appears
-    * here; a crash between swap and linking is repaired by the next
-    * commit (idempotent re-link of all committed files). */
-  private def publishCommitted(): Unit = {
-    val pub = p("published")
-    Files.createDirectories(pub)
-    snapshotManifests(version).foreach { m =>
-      val batchId = m.stripPrefix("manifest-").stripSuffix(".json")
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(Files.readAllBytes(p("manifests", m)))
-      node.get("files").elements().asScala.foreach { f =>
-        val src = Paths.get(f.get("path").asText())
-        val dst = pub.resolve(s"b$batchId-${src.getFileName}")
-        if (!Files.exists(dst)) Files.createLink(dst, src)
-      }
-    }
   }
 
   /** Total committed row count straight from manifests (no data scan). */

@@ -336,4 +336,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == expected.length)
     assert(got.sameElements(expected)) // identical output rows, no dupes/gaps
   }
+
+  test("V2 source: table-to-table stream with resume is exactly-once") {
+    val s = spark
+    import s.implicits._
+    val src = new GraftTable(Files.createTempDirectory("graft_v2_src").toString)
+    val dst = new GraftTable(Files.createTempDirectory("graft_v2_dst").toString)
+    val ckpt = Files.createTempDirectory("ckpt_v2").toString
+    val sink = new ExactlyOnceSink(dst)
+
+    def clipBatch(from: Int, to: Int): Seq[Clip] =
+      (from until to).map(i => clip(f"clip-t${i % 4}-s0-${i}%010d",
+        if (i % 2 == 0) "access denied" else "login ok",
+        "2025-09-19 10:00:00", i.toLong))
+
+    src.commit(clipBatch(0, 10).toDF().coalesce(1), 0L)
+    src.commit(clipBatch(10, 20).toDF().coalesce(1), 1L)
+    // uncommitted junk under data/ must be invisible to the change stream
+    clipBatch(90, 95).toDF().write.parquet(s"${src.root}/data/batch=99")
+
+    def startQuery() = src.readStream(s, maxFilesPerTrigger = 1)
+      .transform(df => StreamingJobs.events(s, df))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(sink.write _).start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()   // "kill" mid-stream
+    // offsets are snapshot versions: with 1 file per commit and
+    // maxFilesPerTrigger=1, the two versions arrive as two micro-batches
+    assert(dst.committedBatchIds.size == 2,
+      s"admission control should split versions into micro-batches, got ${dst.committedBatchIds}")
+    src.commit(clipBatch(20, 30).toDF().coalesce(1), 2L)
+    val q2 = startQuery()                 // resume: offset log carries v2
+    q2.processAllAvailable(); q2.stop()
+
+    val expected = Pipeline.events(s, clipBatch(0, 30).toDF())
+      .select("event_uid").collect().map(_.getString(0)).sorted
+    val got = dst.read(s).select("event_uid").collect().map(_.getString(0)).sorted
+    assert(got.length == expected.length)
+    assert(got.sameElements(expected))
+  }
+
+  test("V2 source: batch read serves exactly the manifest-listed files") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_v2_batch").toString)
+    t.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), 0L)
+    t.commit(Seq((3, "c")).toDF("id", "v"), 1L)
+    Seq((99, "junk")).toDF("id", "v").write.parquet(s"${t.root}/data/batch=42")
+    val df = s.read.format(classOf[graft.table.GraftSourceProvider].getName).load(t.root)
+    assert(df.count() == 3)
+    assert(df.select("id").collect().map(_.getInt(0)).sorted.sameElements(Array(1, 2, 3)))
+  }
 }
