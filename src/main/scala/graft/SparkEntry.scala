@@ -97,6 +97,11 @@ object SparkEntry {
     // skew answer for hot event keys (70% of rows share one sr_hz).
     "w_tumbling_salted" -> ((s, dir) =>
       graft.operators.Salting.tumblingSalted(Pipeline.events(s, clips(s, dir)))),
+    // The 10^12-scale variant: mergeable HLL sketches in the salted partial
+    // instead of clip_id sets. Exact n_clips + bounded-error flag for the
+    // estimate keep it hash-checkable (constant-1 oracle column).
+    "w_tumbling_salted_hll" -> ((s, dir) =>
+      graft.operators.Salting.tumblingSaltedHllChecked(Pipeline.events(s, clips(s, dir)))),
     // A-then-B-within-T sequence detection (batch form of the CEP machine)
     "cep_sequence" -> ((s, dir) =>
       Cep.detectBatch(Pipeline.events(s, clips(s, dir)))),
@@ -200,6 +205,9 @@ SELECT clip_id, codec,
 FROM clips"""),
     "w_tumbling" -> Oracles.withEvents(Windows.tumblingSql),
     "w_tumbling_salted" -> Oracles.withEvents(Windows.tumblingSql),
+    "w_tumbling_salted_hll" -> Oracles.withEvents(
+      Windows.tumblingSql.replace("FROM ev GROUP BY 1, 2",
+        ",\n       CAST(1 AS BIGINT) AS hll_ok_5pct\nFROM ev GROUP BY 1, 2")),
     "w_sliding" -> Oracles.withEvents(Windows.slidingSql),
     "w_session" -> Oracles.withEvents(Windows.sessionSql),
     "cep_sequence" -> Oracles.withEvents(Cep.detectSql()),

@@ -16,6 +16,7 @@ import scala.jdk.CollectionConverters._
 object Metrics {
 
   val ObservationName = "graft_counters"
+  val ErrorsObservationName = "graft_errors"
 
   /** Attach conservation counters to the event stream. */
   def observeEvents(events: DataFrame): DataFrame =
@@ -24,6 +25,20 @@ object Metrics {
       // DISTINCT is not allowed in observed metrics → HLL sketch instead
       approx_count_distinct(col("clip_id")).as("expanded_clips_approx"),
       sum(round(col("risk_score") * 10).cast("bigint")).as("risk_x10_total"))
+
+  /** Labeled error counters on the PRE-decode match stream — the analog of
+    * the reference's processing_errors_total{error_type} (reference
+    * internal/openreports/processor.go:24-38, :179-187). Labels become
+    * metric-name suffixes (observed metrics are flat columns):
+    * decode_error = malformed payload JSON skipped by the tolerant decode;
+    * shape_error = well-formed JSON whose shape defeats the struct decode. */
+  def observeErrors(rawMatches: DataFrame): DataFrame =
+    rawMatches.observe(ErrorsObservationName,
+      sum(when(!graft.operators.Pipeline.decodeOk, 1L).otherwise(0L))
+        .as("errors_decode_error_total"),
+      sum(when(graft.operators.Pipeline.decodeOk &&
+          from_json(col("payload_json"), graft.audio.Rules.payloadSchema).isNull, 1L)
+        .otherwise(0L)).as("errors_shape_error_total"))
 
   /** Collects observed metrics per batchId; when `persistRoot` is given,
     * each batch's counters are also written as
@@ -37,10 +52,16 @@ object Metrics {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-      val om = e.progress.observedMetrics.asScala.get(ObservationName)
-      om.foreach { row =>
-        val observed = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
-          f -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+      val all = e.progress.observedMetrics.asScala
+      val om = Seq(ObservationName, ErrorsObservationName).flatMap(all.get) match {
+        case Nil => None
+        case rows => Some(rows)
+      }
+      om.foreach { rows =>
+        val observed = rows.flatMap { row =>
+          row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+            f -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+          }
         }.toMap
         // A1 dropped_logs_total analog for streaming: late rows discarded
         // by the watermark, from the engine's state-operator metrics

@@ -33,18 +33,26 @@ object Pipeline {
     * struct. `try_parse_json` (variant) returns NULL exactly on malformed. */
   val decodeOk: Column = try_parse_json(col("payload_json")).isNotNull
 
-  /** Rule-eval explode (X1): one clip × N matching rules, via a broadcast
-    * theta-join on substring containment; then tolerant JSON decode (X3):
-    * malformed payloads are dropped, matching the reference's
-    * skip-that-element semantics (processor.go:229-241). */
-  def matches(clips: DataFrame, spark: SparkSession): DataFrame = {
-    val rules = Rules.df(spark)
+  /** Rule-eval explode (X1) BEFORE the tolerant decode: one clip × N
+    * matching rules via a broadcast theta-join on substring containment.
+    * Exposed separately so the streaming path can `observe()` labeled
+    * error counters on the pre-filter stream (the decode-skipped rows are
+    * gone after [[matches]]). */
+  def rawMatches(clips: DataFrame, spark: SparkSession): DataFrame =
     clips.filter(gate)
-      .join(broadcast(rules), expr("contains(transcript, pattern)"))
-      .filter(decodeOk)
+      .join(broadcast(Rules.df(spark)), expr("contains(transcript, pattern)"))
+
+  /** Tolerant JSON decode (X3) over [[rawMatches]]: malformed payloads are
+    * dropped, matching the reference's skip-that-element semantics
+    * (processor.go:229-241). */
+  def decodeFiltered(raw: DataFrame): DataFrame =
+    raw.filter(decodeOk)
       .withColumn("r", from_json(col("payload_json"), Rules.payloadSchema))
       .filter(col("r").isNotNull)
-  }
+
+  /** X1 + X3 in one call. */
+  def matches(clips: DataFrame, spark: SparkSession): DataFrame =
+    decodeFiltered(rawMatches(clips, spark))
 
   // ----------------------------------------------------- F2: status filter
   /** IN-list status filter (F2) — empty filter keeps all

@@ -40,10 +40,48 @@ object Salting {
       .agg(
         sum(col("p_events")).as("n_events"),
         sum(col("p_risk")).as("risk_x10"),
-        // exact distinct via merged sets to stay oracle-comparable; at
-        // 10^12 scale swap for approx_count_distinct (mergeable HLL)
+        // exact distinct via merged sets to stay oracle-comparable; the
+        // 10^12-scale form is [[tumblingSaltedSketch]] (mergeable HLL)
         size(array_distinct(flatten(collect_list(col("p_clips"))))).cast("bigint").as("n_clips"))
       .select(Windows.epochS(col("window.start")).as("window_start_s"),
         col("event_key"), col("n_events"), col("n_clips"), col("risk_x10"))
+  }
+
+  /** The scale form of the salted distinct: partial aggregates carry a
+    * mergeable DataSketches HLL per (window, key, salt) instead of a
+    * clip_id set, so a hot key's reducer merges `buckets` fixed-size
+    * sketches rather than materializing every distinct clip_id in one row
+    * (the round-1 collect_set flaw). Estimate error ~2% at lgK=14. */
+  def tumblingSaltedSketch(events: DataFrame, buckets: Int = 16): DataFrame = {
+    val partial = events
+      .withColumn("_salt", salt(buckets))
+      .groupBy(window(col("event_time"), "10 minutes"), col("event_key"), col("_salt"))
+      .agg(
+        count(lit(1)).as("p_events"),
+        sum(round(col("risk_score") * 10).cast("bigint")).as("p_risk"),
+        hll_sketch_agg(col("clip_id"), lit(14)).as("p_clips_hll"))
+    partial
+      .groupBy(col("window"), col("event_key"))
+      .agg(
+        sum(col("p_events")).as("n_events"),
+        sum(col("p_risk")).as("risk_x10"),
+        hll_sketch_estimate(hll_union_agg(col("p_clips_hll"))).as("n_clips_approx"))
+      .select(Windows.epochS(col("window.start")).as("window_start_s"),
+        col("event_key"), col("n_events"), col("n_clips_approx"), col("risk_x10"))
+  }
+
+  /** Oracle-checkable contract for the sketch path: exact n_clips (from the
+    * exact salted merge) alongside a bounded-error flag for the HLL
+    * estimate — within max(1, 5%) of exact or the gate fails. */
+  def tumblingSaltedHllChecked(events: DataFrame, buckets: Int = 16): DataFrame = {
+    val keys = Seq("window_start_s", "event_key")
+    tumblingSalted(events, buckets)
+      .join(tumblingSaltedSketch(events, buckets)
+        .select(col("window_start_s"), col("event_key"), col("n_clips_approx")), keys)
+      .select(col("window_start_s"), col("event_key"), col("n_events"),
+        col("n_clips"), col("risk_x10"),
+        when(abs(col("n_clips_approx") - col("n_clips")) <=
+          greatest(lit(1L), (col("n_clips") * 5L) / 100L), 1L)
+          .otherwise(0L).as("hll_ok_5pct"))
   }
 }

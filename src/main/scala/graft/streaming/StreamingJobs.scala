@@ -26,6 +26,20 @@ object StreamingJobs {
     Pipeline.events(spark, clipStream, statusFilter)
       .withColumn("event_time", col("event_time").cast("timestamp"))
 
+  /** [[events]] with the labeled error counters observed on the pre-decode
+    * match stream (processing_errors_total{error_type} analog): the
+    * decode-skipped rows are counted per micro-batch by error type before
+    * the tolerant filter drops them, collected by [[graft.metrics.Metrics.Listener]]. */
+  def eventsObserved(spark: SparkSession, clipStream: DataFrame,
+                     statusFilter: Seq[String] = Nil): DataFrame = {
+    graft.audio.Rules.validateStatusFilter(statusFilter)
+      .left.foreach(e => throw new IllegalArgumentException(e))
+    val raw = graft.metrics.Metrics.observeErrors(Pipeline.rawMatches(clipStream, spark))
+    Pipeline.transformed(
+      Pipeline.decodeFiltered(raw).filter(Pipeline.statusFilter(statusFilter)))
+      .withColumn("event_time", col("event_time").cast("timestamp"))
+  }
+
   /** Watermarked tumbling-window aggregate (append mode: windows emit once
     * finalized; late rows beyond the watermark are dropped). */
   def windowedCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =

@@ -164,8 +164,25 @@ final class GraftTable(val root: String) {
 /** Exactly-once streaming sink over [[GraftTable]]: plug into
   * `writeStream.foreachBatch(sink.write _)`. Spark's checkpoint gives
   * at-least-once foreachBatch invocation; the batchId-keyed idempotent
-  * commit upgrades it to exactly-once table contents. */
-final class ExactlyOnceSink(table: GraftTable, metrics: Long => Map[String, Long] = _ => Map.empty) {
-  def write(df: DataFrame, batchId: Long): Unit =
-    table.commit(df, batchId, metrics(batchId))
+  * commit upgrades it to exactly-once table contents.
+  *
+  * With `lineage = true`, every row carries (_lineage_batch, _lineage_part,
+  * _lineage_row) — the (batch, record, result) analog of the reference's
+  * order-preserving splice (processor.go:137-256): the pipeline is map-only
+  * (no shuffle), so partition-local row order IS source file order, and
+  * `ORDER BY` the triple reconstructs the replay order deterministically. */
+final class ExactlyOnceSink(table: GraftTable,
+                            metrics: Long => Map[String, Long] = _ => Map.empty,
+                            lineage: Boolean = false) {
+  def write(df: DataFrame, batchId: Long): Unit = {
+    val out =
+      if (!lineage) df
+      else df
+        .withColumn("_lineage_batch", lit(batchId))
+        .withColumn("_lineage_part", spark_partition_id().cast("long"))
+        // low 33 bits of monotonically_increasing_id = per-partition counter
+        .withColumn("_lineage_row",
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+    table.commit(out, batchId, metrics(batchId))
+  }
 }

@@ -62,6 +62,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"global sort for a LIMIT query:\n$plan")
   }
 
+  test("salted HLL merge carries sketches, not clip_id sets") {
+    val plan = planOf(graft.operators.Salting.tumblingSaltedSketch(
+      Pipeline.events(spark, ClipTable.clips(spark, sf))))
+    assert(!plan.contains("collect_set") && !plan.contains("collect_list"),
+      s"hot-key reducer still materializes distinct clip_ids:\n$plan")
+  }
+
   test("simhash pairs: band-bucket equi-join, never a nested-loop all-pairs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.operators.Dedup.simhashPairs(docs))

@@ -377,6 +377,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sameElements(expected))
   }
 
+  test("labeled error counters: decode skips counted per batch by error type") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Clip]
+    val listener = new graft.metrics.Metrics.Listener()
+    s.streams.addListener(listener)
+    val q = StreamingJobs.eventsObserved(s, ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("err_out").start()
+    try {
+      ms.addData(
+        clip("clip-t0-s0-0000000001", "clip audio user 4", "2025-09-19 10:00:00", 1), // malformed-rule match only
+        clip("clip-t0-s0-0000000002", "login ok user 4", "2025-09-19 10:01:00", 2),   // 1 valid + 1 malformed
+        clip("clip-t0-s0-0000000003", "login ok", "2025-09-19 10:02:00", 3))          // valid only
+      q.processAllAvailable()
+      def total(k: String) = listener.byBatch.values.map(_.getOrElse(k, 0L)).sum
+      assert(total("errors_decode_error_total") == 2,
+        s"expected 2 labeled decode errors, got ${listener.byBatch}")
+      assert(total("errors_shape_error_total") == 0)
+      // the valid matches still flow (tolerant skip, not fatal)
+      assert(s.sql("SELECT * FROM err_out").count() == 2)
+    } finally { q.stop(); s.streams.removeListener(listener) }
+  }
+
+  test("per-row lineage: ordered golden replay is reproducible") {
+    val s = spark
+    import s.implicits._
+    def clipBatch(from: Int, to: Int): Seq[Clip] =
+      (from until to).map(i => clip(f"clip-t${i % 4}-s0-${i}%010d",
+        if (i % 2 == 0) "access denied login ok" else "login ok",
+        "2025-09-19 10:00:00", i.toLong))
+    def run(): Seq[(Long, Long, Long, String)] = {
+      val src = new GraftTable(Files.createTempDirectory("lin_src").toString)
+      val dst = new GraftTable(Files.createTempDirectory("lin_dst").toString)
+      val ckpt = Files.createTempDirectory("lin_ckpt").toString
+      src.commit(clipBatch(0, 10).toDF().coalesce(1), 0L)
+      src.commit(clipBatch(10, 20).toDF().coalesce(1), 1L)
+      val sink = new ExactlyOnceSink(dst, lineage = true)
+      val q = src.readStream(s, maxFilesPerTrigger = 1)
+        .transform(df => StreamingJobs.events(s, df))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(sink.write _).start()
+      q.processAllAvailable(); q.stop()
+      dst.read(s)
+        .orderBy("_lineage_batch", "_lineage_part", "_lineage_row")
+        .select("_lineage_batch", "_lineage_part", "_lineage_row", "event_uid")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    }
+    val a = run()
+    val b = run()
+    assert(a.nonEmpty)
+    assert(a == b, "ordered replay must be bit-identical across independent runs")
+    // splice semantics: a clip's exploded events are contiguous in order
+    val uids = a.map(_._4)
+    assert(uids.distinct.length == uids.length)
+  }
+
   test("V2 source: batch read serves exactly the manifest-listed files") {
     val s = spark
     import s.implicits._
