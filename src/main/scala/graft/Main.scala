@@ -26,7 +26,8 @@ object Main {
   final case class Config(input: String = "", output: String = "",
                           checkpoint: String = "", statusFilter: Seq[String] = Nil,
                           maxFilesPerTrigger: Int = 32, once: Boolean = true,
-                          job: String = "events", rocksdb: Boolean = false)
+                          job: String = "events", rocksdb: Boolean = false,
+                          enabled: Boolean = true, lineage: Boolean = false)
 
   val ValidJobs: Set[String] = Set("events", "windows", "sessions", "cep")
 
@@ -41,6 +42,9 @@ object Main {
       case "--max-files-per-trigger" :: v :: t => loop(t, c.copy(maxFilesPerTrigger = v.toInt))
       case "--job" :: v :: t => loop(t, c.copy(job = v))
       case "--rocksdb" :: t => loop(t, c.copy(rocksdb = true))
+      // reference `enabled: false` (config.go:8-25): identity pass-through
+      case "--disabled" :: t => loop(t, c.copy(enabled = false))
+      case "--lineage" :: t => loop(t, c.copy(lineage = true))
       case "--once" :: t => loop(t, c.copy(once = true))
       case "--continuous" :: t => loop(t, c.copy(once = false))
       case other :: _ => Left(s"unknown argument: $other")
@@ -77,20 +81,24 @@ object Main {
     val listener = new Metrics.Listener(persistRoot = Some(conf.output))
     spark.streams.addListener(listener)
     val table = new GraftTable(conf.output)
-    val sink = new ExactlyOnceSink(table)
+    val sink = new ExactlyOnceSink(table, lineage = conf.lineage)
 
     val schema = spark.read.parquet(conf.input).schema
     val clips = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
       .parquet(conf.input)
-    val events = Metrics.observeEvents(
-      StreamingJobs.events(spark, clips, conf.statusFilter))
-    val out = conf.job match {
-      case "windows"  => StreamingJobs.windowedCounts(events)
-      case "sessions" => StreamingJobs.sessionCounts(events)
-      case "cep"      => StreamingJobs.streamingCep(spark, events).toDF()
-      case _          => events
-    }
+    val out =
+      if (!conf.enabled) clips // reference enabled=false: identity pass-through
+      else {
+        val events = Metrics.observeEvents(
+          StreamingJobs.eventsObserved(spark, clips, conf.statusFilter))
+        conf.job match {
+          case "windows"  => StreamingJobs.windowedCounts(events)
+          case "sessions" => StreamingJobs.sessionCounts(events)
+          case "cep"      => StreamingJobs.streamingCep(spark, events).toDF()
+          case _          => events
+        }
+      }
 
     val q = out.writeStream
       .option("checkpointLocation", conf.checkpoint)

@@ -77,6 +77,40 @@ object SparkEntry {
       clips(s, dir)
         .select(col("clip_id"), explode(map_concat(kept, derived)).as(Seq("attr_key", "attr_value")))
     }),
+    // X2 polymorphic payload coercion: JSON-array string / plain string /
+    // ill-typed (skipped) — the reference's 3-way runtime branch
+    "x2_poly_coerce" -> ((s, dir) => graft.operators.Coerce.polymorphic(clips(s, dir))),
+    // C1/P: processor enabled=false ⇒ whole-stream identity pass-through
+    "p_disabled_identity" -> ((s, dir) =>
+      Pipeline.process(s, clips(s, dir), enabled = false)),
+    // E3 fidelity: 6-type attribute-value copy (reference copyValue,
+    // processor.go:674-691 — Str|Int|Double|Bool|Slice|Map preserved).
+    // The attr bag is an array of typed structs; the copy is a prefix
+    // filter that carries each value in its native type (slice/map emitted
+    // as canonical JSON for the oracle compare).
+    "e3_typed_attrs" -> ((s, dir) => {
+      val nulS = lit(null).cast("string"); val nulL = lit(null).cast("long")
+      val nulD = lit(null).cast("double"); val nulB = lit(null).cast("boolean")
+      def tattr(key: String, vtype: String, vStr: org.apache.spark.sql.Column,
+                vLong: org.apache.spark.sql.Column, vDbl: org.apache.spark.sql.Column,
+                vBool: org.apache.spark.sql.Column, vArr: org.apache.spark.sql.Column,
+                vMap: org.apache.spark.sql.Column) =
+        struct(lit(key).as("attr_key"), lit(vtype).as("vtype"), vStr.as("v_str"),
+          vLong.as("v_long"), vDbl.as("v_dbl"), vBool.as("v_bool"),
+          vArr.as("v_arr_json"), vMap.as("v_map_json"))
+      val attrs = array(
+        tattr("clip.codec", "str", col("codec"), nulL, nulD, nulB, nulS, nulS),
+        tattr("clip.sr_hz", "int", nulS, col("sr_hz").cast("long"), nulD, nulB, nulS, nulS),
+        tattr("clip.dur_s", "double", nulS, nulL, col("dur_ms") / 1000.0, nulB, nulS, nulS),
+        tattr("clip.is_wav", "bool", nulS, nulL, nulD, col("codec") === "wav", nulS, nulS),
+        tattr("clip.tags", "slice", nulS, nulL, nulD, nulB,
+          to_json(array(lit("audio"), col("codec"))), nulS),
+        tattr("clip.props", "map", nulS, nulL, nulD, nulB, nulS,
+          to_json(map(lit("tenant"), col("tenant_id").cast("string")))),
+        tattr("meta.skip", "str", lit("x"), nulL, nulD, nulB, nulS, nulS))
+      val kept = filter(attrs, a => a.getField("attr_key").startsWith("clip."))
+      clips(s, dir).select(col("clip_id"), explode(kept).as("a")).select(col("clip_id"), col("a.*"))
+    }),
     // E1 owner-reference workload extraction (higher-order array functions)
     "e1_owner_refs" -> ((s, dir) => {
       val withRefs = ClipTable.withOwnerRefs(clips(s, dir))
@@ -228,6 +262,19 @@ ORDER BY risk_score DESC, event_uid ASC LIMIT 20"""),
     "sim_ivf_bucket" -> Similarity.ivfTopNeighborSql,
     "j_interval" -> (Oracles.prelude +
       s", ev AS (${Oracles.eventsSelect(Nil)}),\n${IntervalJoin.activationsSqlDuck.trim}\n${IntervalJoin.joinSqlDuck}"),
+    "x2_poly_coerce" -> (ClipTable.oraclePrelude + graft.operators.Coerce.polymorphicSql),
+    "p_disabled_identity" -> (ClipTable.oraclePrelude + "SELECT * FROM clips"),
+    "e3_typed_attrs" -> (ClipTable.oraclePrelude + """
+SELECT clip_id, 'clip.codec' AS attr_key, 'str' AS vtype, codec AS v_str,
+       CAST(NULL AS BIGINT) AS v_long, CAST(NULL AS DOUBLE) AS v_dbl,
+       CAST(NULL AS BOOLEAN) AS v_bool, CAST(NULL AS STRING) AS v_arr_json,
+       CAST(NULL AS STRING) AS v_map_json
+FROM clips
+UNION ALL SELECT clip_id, 'clip.sr_hz', 'int', NULL, CAST(sr_hz AS BIGINT), NULL, NULL, NULL, NULL FROM clips
+UNION ALL SELECT clip_id, 'clip.dur_s', 'double', NULL, NULL, dur_ms / 1000.0, NULL, NULL, NULL FROM clips
+UNION ALL SELECT clip_id, 'clip.is_wav', 'bool', NULL, NULL, NULL, codec = 'wav', NULL, NULL FROM clips
+UNION ALL SELECT clip_id, 'clip.tags', 'slice', NULL, NULL, NULL, NULL, to_json(['audio', codec]), NULL FROM clips
+UNION ALL SELECT clip_id, 'clip.props', 'map', NULL, NULL, NULL, NULL, NULL, to_json(MAP {'tenant': CAST(tenant_id AS STRING)}) FROM clips"""),
     "agg_approx_distinct" -> Oracles.withEvents("""
 SELECT event_key, COUNT(DISTINCT clip_id) AS exact_clips,
        CAST(1 AS BIGINT) AS approx_ok_5pct

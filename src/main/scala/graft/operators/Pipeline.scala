@@ -196,6 +196,13 @@ object Pipeline {
     ev.drop("match_status").unionByName(passthrough, allowMissingColumns = true)
   }
 
+  /** Processor `enabled` flag (reference internal/openreports/config.go:8-25,
+    * processor.go:56-63): disabled ⇒ the whole stream passes through as an
+    * identity — no gate, no match, no transform. */
+  def process(spark: SparkSession, clips: DataFrame, enabled: Boolean,
+              allowed: Seq[String] = Nil): DataFrame =
+    if (enabled) fullPipeline(spark, clips, allowed) else clips
+
   // ------------------------------------------------------- A1: counters
   /** Conservation-law counters (A1, reference METRICS.md:42): incoming =
     * passthrough + expanded-parents; outgoing = events + passthrough. */

@@ -24,6 +24,22 @@ class JobSpec extends AnyFunSuite {
       "--checkpoint", "c", "--job", "bogus")).isLeft)
     assert(Main.parseArgs(Array("--input", "i", "--output", "o",
       "--checkpoint", "c", "--job", "cep")).exists(_.job == "cep"))
+    assert(Main.parseArgs(Array("--input", "i", "--output", "o",
+      "--checkpoint", "c", "--disabled")).exists(!_.enabled))
+    assert(Main.parseArgs(Array("--input", "i", "--output", "o",
+      "--checkpoint", "c", "--lineage")).exists(_.lineage))
+  }
+
+  test("disabled processor is a whole-stream identity pass-through") {
+    val s = spark
+    import s.implicits._
+    val in = (0 until 20).map(i => Clip(f"clip-t${i % 3}-s0-$i%010d", 16000, 300,
+      if (i % 2 == 0) "wav" else "opus-stub", "access denied", TestSpark.T0, 1L, i.toLong)).toDF()
+    val out = Pipeline.process(s, in, enabled = false)
+    assert(out.schema == in.schema)
+    assert(out.collect().toSet == in.collect().toSet)
+    // enabled=true actually processes (events + passthrough union)
+    assert(Pipeline.process(s, in, enabled = true).columns.contains("event_uid"))
   }
 
   test("GraftTable streaming source: table-to-table streaming pipeline") {
