@@ -111,6 +111,16 @@ object SparkEntry {
       val kept = filter(attrs, a => a.getField("attr_key").startsWith("clip."))
       clips(s, dir).select(col("clip_id"), explode(kept).as("a")).select(col("clip_id"), col("a.*"))
     }),
+    // M10 nanosecond fidelity (SURVEY §7.6.1): the event-time rewrite
+    // carried as an epoch-nanos long column — the RFC3339Nano parity path
+    // (offsets are integer seconds, so ns arithmetic is exact bigint math).
+    "m10_time_ns" -> ((s, dir) => {
+      val m = Pipeline.matches(clips(s, dir), s)
+      m.select(col("clip_id"), col("rule_id"),
+        (unix_micros(col("event_time").cast("timestamp_ltz")) * 1000L +
+          when(col("r.ts_offset_s") > 0, col("r.ts_offset_s") * 1000000000L)
+            .otherwise(0L)).as("event_time_ns"))
+    }),
     // E1 owner-reference workload extraction (higher-order array functions)
     "e1_owner_refs" -> ((s, dir) => {
       val withRefs = ClipTable.withOwnerRefs(clips(s, dir))
@@ -263,6 +273,11 @@ ORDER BY risk_score DESC, event_uid ASC LIMIT 20"""),
     "j_interval" -> (Oracles.prelude +
       s", ev AS (${Oracles.eventsSelect(Nil)}),\n${IntervalJoin.activationsSqlDuck.trim}\n${IntervalJoin.joinSqlDuck}"),
     "x2_poly_coerce" -> (ClipTable.oraclePrelude + graft.operators.Coerce.polymorphicSql),
+    "m10_time_ns" -> (Oracles.prelude + """
+SELECT clip_id, rule_id,
+       CAST(epoch_ns(event_time)
+            + CASE WHEN p_off > 0 THEN p_off * 1000000000 ELSE 0 END AS BIGINT) AS event_time_ns
+FROM decoded"""),
     "p_disabled_identity" -> (ClipTable.oraclePrelude + "SELECT * FROM clips"),
     "e3_typed_attrs" -> (ClipTable.oraclePrelude + """
 SELECT clip_id, 'clip.codec' AS attr_key, 'str' AS vtype, codec AS v_str,

@@ -30,7 +30,7 @@ import scala.jdk.CollectionConverters._
   * crash leftovers in data/ are invisible. Renames are atomic on local and
   * HDFS filesystems; object stores would swap a pointer object instead.
   */
-final class GraftTable(val root: String) {
+final class GraftTable(val root: String, checkpointInterval: Int = 64) {
 
   private def p(parts: String*): Path = Paths.get(root, parts: _*)
 
@@ -45,12 +45,22 @@ final class GraftTable(val root: String) {
     if (Files.exists(p("VERSION"))) new String(Files.readAllBytes(p("VERSION")), StandardCharsets.UTF_8).trim.toLong
     else 0L
 
+  /** Resolve snapshot v's full manifest list. Snapshots are a parent+delta
+    * chain ({"parent": v-1, "added": [m]}) with a full {"manifests": [...]}
+    * checkpoint every `checkpointInterval` commits, so commit cost is O(1)
+    * amortized instead of rewriting the whole O(commits) list every time
+    * (the round-1 flaw), while any historical version stays resolvable in
+    * ≤ checkpointInterval file reads. */
   private def snapshotManifests(v: Long): Seq[String] =
     if (v == 0) Nil
     else {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(Files.readAllBytes(p("snapshots", s"v$v.json")))
-      node.get("manifests").elements().asScala.map(_.asText()).toSeq
+      if (node.has("manifests"))
+        node.get("manifests").elements().asScala.map(_.asText()).toSeq
+      else
+        snapshotManifests(node.get("parent").asLong()) ++
+          node.get("added").elements().asScala.map(_.asText()).toSeq
     }
 
   def committedBatchIds: Set[Long] = synchronized {
@@ -144,10 +154,14 @@ final class GraftTable(val root: String) {
       s"""{"batchId":$batchId,"rows":$totalRows,"files":$filesJson,"metrics":$metricsJson}""")
 
     val v = version
-    val manifests = snapshotManifests(v) :+ manifestName
-    val manifestsJson = manifests.map(jsonStr).mkString("[", ",", "]")
-    writeAtomic(p("snapshots", s"v${v + 1}.json"),
-      s"""{"version":${v + 1},"manifests":$manifestsJson}""")
+    val snapshotJson =
+      if ((v + 1) % checkpointInterval == 0) {
+        // periodic full checkpoint bounds the resolution walk
+        val manifests = snapshotManifests(v) :+ manifestName
+        s"""{"version":${v + 1},"manifests":${manifests.map(jsonStr).mkString("[", ",", "]")}}"""
+      } else
+        s"""{"version":${v + 1},"parent":$v,"added":[${jsonStr(manifestName)}]}"""
+    writeAtomic(p("snapshots", s"v${v + 1}.json"), snapshotJson)
     writeAtomic(p("VERSION"), (v + 1).toString)
     true
   }

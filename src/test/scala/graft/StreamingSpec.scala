@@ -271,6 +271,19 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("snapshot chain: delta snapshots + periodic checkpoints resolve across boundaries") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_chain").toString,
+      checkpointInterval = 3)
+    (0 until 8).foreach(i => t.commit(Seq((i, s"v$i")).toDF("id", "v"), i.toLong))
+    assert(t.version == 8)
+    assert(t.read(s).count() == 8)
+    assert(t.committedBatchIds == (0L until 8L).toSet)
+    // every historical version resolves, whether it is a delta or checkpoint
+    (1 to 8).foreach(v => assert(t.readVersion(s, v).count() == v, s"at v$v"))
+  }
+
   test("GraftTable time travel: historical snapshots stay readable") {
     val s = spark
     import s.implicits._
