@@ -141,8 +141,13 @@ object Bench {
       else {
         val inputDir = "/dev/shm/graft_bench/input"
         val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "sink")
+        // replicate sizes each micro-batch so per-batch driver work (plan,
+        // commit, footer reads) amortizes: at 60× a 32-file batch carries
+        // ~1.5M rows (~5s of work at width 32) — measuring the engine, not
+        // the trigger overhead. (Round-2 finding: at 20× the wide config's
+        // batches were ~1.5s and the driver share capped efficiency.)
         val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE",
-          if (mode == "audio") "3" else "20").toInt
+          if (mode == "audio") "3" else "60").toInt
         val nClips = stageInput(spark, sfDir, inputDir, replicate)
         spark.stop()
         // The sandbox host is shared: load-average spikes from other

@@ -31,11 +31,31 @@ object IntervalJoin {
       FROM events WHERE event_id % 97 = 0""")
   }
 
-  /** events ⋈ activations on rule equality + |Δt| ≤ WithinS. */
+  /** events ⋈ activations on rule equality + |Δt| ≤ WithinS.
+    *
+    * rule_id alone is a terrible join key (4 distinct values), so a plain
+    * equi-join materializes ~|events|×|acts|/4 pairs before the range
+    * filter. The join key is therefore (rule_id, time_bucket) with buckets
+    * of WithinS: the sparse activation side explodes to its bucket ±1
+    * (any pair within WithinS shares one of those buckets; an event's
+    * single bucket matches at most one of an activation's three, so no
+    * dedup is needed) and the exact |Δt| predicate verifies. Candidates
+    * drop from "all activations of the rule" to "activations within ±1
+    * bucket" — the interval-join analog of LSH banding. */
   def join(events: DataFrame, acts: DataFrame): DataFrame = {
     def us(c: String) = unix_micros(col(c).cast("timestamp_ltz"))
-    events.join(broadcast(acts), Seq("rule_id"))
-      .filter(abs(us("event_time") - us("active_from")) <= WithinS * 1000000L)
+    val w = WithinS * 1000000L
+    // integer DIV, not double '/': a double quotient 1 ulp under an integer
+    // would bucket a boundary row wrong
+    def bucket(c: String) =
+      expr(s"unix_micros(CAST($c AS TIMESTAMP_LTZ)) DIV ${w}L")
+    val e = events.withColumn("_tb", bucket("event_time"))
+    val a = acts
+      .withColumn("_ab", bucket("active_from"))
+      .withColumn("_tb", explode(array(col("_ab") - 1, col("_ab"), col("_ab") + 1)))
+      .drop("_ab")
+    e.join(broadcast(a), Seq("rule_id", "_tb"))
+      .filter(abs(us("event_time") - us("active_from")) <= w)
       .select(col("rule_id"), col("clip_id"), col("act_id"),
         us("event_time").as("ev_us"),
         us("active_from").as("act_us"))
