@@ -170,11 +170,15 @@ object Bench {
         val t8 = scala.collection.mutable.ArrayBuffer[Double]()
         val t2 = scala.collection.mutable.ArrayBuffer[Double]()
         val loads = scala.collection.mutable.ArrayBuffer[Double]()
-        for (i <- 1 to trials) {
+        // local[2] runs FIRST, straight after warmup: the slot least
+        // contaminated by our own trailing load average — inflating the
+        // narrow denominator is the CONSERVATIVE direction for the N→4N
+        // efficiency numbers.
+        t2 += runPipeline(2, inputDir, nClips, mode)
+        for (_ <- 1 to trials) {
           loads += loadAvg
           t32 += runPipeline(32, inputDir, nClips, mode)
           t8 += runPipeline(8, inputDir, nClips, mode)
-          if (i == 1) t2 += runPipeline(2, inputDir, nClips, mode)
         }
         def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
         val thr32 = med(t32.toSeq); val thr8 = med(t8.toSeq); val thr2 = t2.max

@@ -118,6 +118,22 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
+  /** Manifests that version k contributes to a reader whose stream started
+    * at `from`, under compaction (REWRITE manifests, GraftTable.compact):
+    *
+    *  - fresh reader (from = 0): exactly the CURRENT lineage — original
+    *    manifests that were later compacted away are not in `chain`, so the
+    *    backfill reads the rewrite manifest once, at its own version;
+    *  - resumed reader (from > 0): the original per-version manifests
+    *    (data files are never deleted by compact), with every rewrite
+    *    manifest skipped — its rows were already delivered at their
+    *    original versions. Either way: no duplicates, no gaps. */
+  private def readableManifests(k: Long, from: Long, chain: Set[String]): Seq[String] = {
+    val added = table.manifestsAddedAt(k)
+    if (from == 0L) added.filter(chain.contains)
+    else added.filterNot(m => table.manifestRewriteInfo(m)._1)
+  }
+
   /** Admit whole snapshot versions until the file budget is spent (at
     * least one version per trigger so the stream always advances). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
@@ -125,12 +141,13 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
     val from = start.asInstanceOf[GraftOffset].version
     limit match {
       case mf: ReadMaxFiles if cur > from =>
-        val manifests = table.manifestsUpTo(cur)
+        val chain = table.manifestsUpTo(cur).toSet
         var v = from
         var files = 0
         var stop = false
         while (!stop && v < cur) {
-          val nFiles = table.manifestFileRows(manifests((v).toInt)).size
+          val nFiles = readableManifests(v + 1, from, chain)
+            .map(table.manifestFileRows(_).size).sum
           if (files > 0 && files + nFiles > mf.maxFiles()) stop = true
           else { files += nFiles; v += 1 }
         }
@@ -142,8 +159,9 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftOffset].version
     val to = end.asInstanceOf[GraftOffset].version
-    table.manifestsUpTo(to)
-      .slice(from.toInt, to.toInt)
+    val chain = table.manifestsUpTo(to).toSet
+    (from + 1 to to)
+      .flatMap(readableManifests(_, from, chain))
       .flatMap(table.manifestFileRows)
       .map { case (path, rows) => GraftInputPartition(path, rows) }
       .toArray

@@ -63,14 +63,46 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
           node.get("added").elements().asScala.map(_.asText()).toSeq
     }
 
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Batch ids covered by the current snapshot. Read from manifest CONTENT
+    * (a compaction manifest carries the ids of every batch it rewrote, so
+    * replays of compacted-away batches stay no-ops). */
   def committedBatchIds: Set[Long] = synchronized {
-    snapshotManifests(version)
-      .map(m => m.stripPrefix("manifest-").stripSuffix(".json").toLong).toSet
+    snapshotManifests(version).flatMap { m =>
+      val node = mapper.readTree(Files.readAllBytes(p("manifests", m)))
+      if (node.has("batchIds"))
+        node.get("batchIds").elements().asScala.map(_.asLong()).toSeq
+      else Seq(node.get("batchId").asLong())
+    }.toSet
+  }
+
+  /** (isRewrite, replacesUpTo) for one manifest: a compaction manifest
+    * replaces every version ≤ replacesUpTo. */
+  def manifestRewriteInfo(name: String): (Boolean, Long) = synchronized {
+    val node = mapper.readTree(Files.readAllBytes(p("manifests", name)))
+    if (node.has("replacesUpTo")) (true, node.get("replacesUpTo").asLong()) else (false, 0L)
   }
 
   /** Ordered manifest names of snapshot `v` (manifest k-1 is the one added
     * by commit k — the V2 source's version→files resolution). */
   def manifestsUpTo(v: Long): Seq[String] = synchronized { snapshotManifests(v) }
+
+  /** Manifests ADDED by commit k (the V2 source's per-version delta):
+    * straight from the chain node's `added` list, or a set-diff at full
+    * checkpoints / rewrites. */
+  def manifestsAddedAt(k: Long): Seq[String] = synchronized {
+    if (k <= 0) Nil
+    else {
+      val node = mapper.readTree(Files.readAllBytes(p("snapshots", s"v$k.json")))
+      if (node.has("added"))
+        node.get("added").elements().asScala.map(_.asText()).toSeq
+      else {
+        val prev = snapshotManifests(k - 1).toSet
+        snapshotManifests(k).filterNot(prev)
+      }
+    }
+  }
 
   /** (path, rows) for every data file of one manifest. */
   def manifestFileRows(name: String): Seq[(String, Long)] = synchronized {
@@ -164,6 +196,45 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     writeAtomic(p("snapshots", s"v${v + 1}.json"), snapshotJson)
     writeAtomic(p("VERSION"), (v + 1).toString)
     true
+  }
+
+  /** Compact the current snapshot's data files into `targetFiles` files
+    * (small-file compaction — O(commits) file counts are the other half of
+    * the 100 TB story next to O(1) snapshot commits). Appends a REWRITE
+    * manifest (`replacesUpTo` = the compacted version, carrying every
+    * rewritten batchId) under a full-checkpoint snapshot; old versions stay
+    * readable (their files are never deleted here), replays of compacted
+    * batches stay no-ops, and the V2 change stream either backfills the
+    * rewrite (fresh readers) or skips it (readers past it) — a resume
+    * point strictly inside the compacted range fails loudly instead of
+    * duplicating rows. */
+  def compact(spark: SparkSession, targetFiles: Int = 32): Long = synchronized {
+    val v = version
+    require(v > 0, "nothing to compact")
+    val batchIds = committedBatchIds
+    val dataDir = p("data", s"rewrite=v$v")
+    readVersion(spark, v).repartition(targetFiles)
+      .write.mode("overwrite").parquet(dataDir.toString)
+
+    val hconf = spark.sessionState.newHadoopConf()
+    val written = Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), hconf)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (f.toString, rd.getRecordCount) finally rd.close()
+      }.toArray.sortBy((x: (String, Long)) => x._1)
+    val filesJson = written.map { case (path, rows) =>
+      s"""{"path":${jsonStr(path)},"rows":$rows}"""
+    }.mkString("[", ",", "]")
+    val manifestName = s"manifest-rewrite-v$v.json"
+    writeAtomic(p("manifests", manifestName),
+      s"""{"replacesUpTo":$v,"batchIds":${batchIds.toSeq.sorted.mkString("[", ",", "]")},"rows":${written.map(_._2).sum},"files":$filesJson,"metrics":{}}""")
+    writeAtomic(p("snapshots", s"v${v + 1}.json"),
+      s"""{"version":${v + 1},"manifests":[${jsonStr(manifestName)}]}""")
+    writeAtomic(p("VERSION"), (v + 1).toString)
+    v + 1
   }
 
   /** Total committed row count straight from manifests (no data scan). */

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Cep, Pipeline}
 import graft.streaming.StreamingJobs
-import graft.table.{ExactlyOnceSink, GraftTable}
+import graft.table.{ExactlyOnceSink, GraftInputPartition, GraftMicroBatchStream, GraftOffset, GraftTable}
 
 /** Top-level so Spark can derive an Encoder (inner classes capture $outer). */
 case class Clip(clip_id: String, sr_hz: Int, dur_ms: Int, codec: String,
@@ -282,6 +282,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.committedBatchIds == (0L until 8L).toSet)
     // every historical version resolves, whether it is a delta or checkpoint
     (1 to 8).foreach(v => assert(t.readVersion(s, v).count() == v, s"at v$v"))
+  }
+
+  test("compaction: rewrite manifest, fresh backfill, mid-backlog resume") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_compact").toString)
+    (0 until 4).foreach(i =>
+      t.commit(Seq((i * 10, s"b$i"), (i * 10 + 1, s"b$i")).toDF("id", "v").coalesce(1), i.toLong))
+    assert(t.dataFiles.size == 4)
+    assert(t.compact(s, targetFiles = 1) == 5L)
+    assert(t.version == 5 && t.dataFiles.size == 1)
+    assert(t.read(s).count() == 8)
+    assert(t.committedBatchIds == Set(0L, 1L, 2L, 3L))
+    assert(!t.commit(Seq((99, "dupe")).toDF("id", "v"), 2L)) // compacted replay still a no-op
+    // old versions stay time-travelable after compaction
+    assert(t.readVersion(s, 2).count() == 4)
+    t.commit(Seq((100, "post"), (101, "post")).toDF("id", "v").coalesce(1), 10L)
+    assert(t.read(s).count() == 10)
+
+    val schema = t.read(s).schema
+    val stream = new GraftMicroBatchStream(t.root, schema, None)
+    def dirs(from: Long, to: Long) = stream
+      .planInputPartitions(GraftOffset(from), GraftOffset(to))
+      .map(_.asInstanceOf[GraftInputPartition].path).toSeq
+    // fresh reader: the rewrite backfill + the post-compact commit, nothing else
+    val fresh = dirs(0, t.version)
+    assert(fresh.exists(_.contains("rewrite=v4")) && fresh.exists(_.contains("batch=10")))
+    assert(!fresh.exists(_.contains("batch=0")), s"fresh read must not double-read originals: $fresh")
+    // mid-backlog reader (consumed 2 of the 4 pre-compact versions):
+    // the remaining ORIGINAL manifests + the post commit; rewrite skipped
+    val resumed = dirs(2, t.version)
+    assert(resumed.exists(_.contains("batch=2")) && resumed.exists(_.contains("batch=3"))
+      && resumed.exists(_.contains("batch=10")))
+    assert(!resumed.exists(_.contains("rewrite=")), s"resumed read must skip the rewrite: $resumed")
+    // reader fully caught up pre-compaction: only the post commit
+    val caught = dirs(4, t.version)
+    assert(caught.forall(_.contains("batch=10")) && caught.nonEmpty)
+
+    // end-to-end: a fresh stream over the compacted table sees exactly the rows
+    val dst = new GraftTable(Files.createTempDirectory("graft_compact_dst").toString)
+    val sink = new ExactlyOnceSink(dst)
+    val q = t.readStream(s).writeStream
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_compact").toString)
+      .foreachBatch(sink.write _).start()
+    q.processAllAvailable(); q.stop()
+    assert(dst.read(s).select("id").collect().map(_.getInt(0)).sorted.sameElements(
+      t.read(s).select("id").collect().map(_.getInt(0)).sorted))
   }
 
   test("GraftTable time travel: historical snapshots stay readable") {
