@@ -39,18 +39,21 @@ object Bench {
     s
   }
 
-  /** Stage a replicated clip table (metadata + transcript) as 128 parquet
-    * files: with maxFilesPerTrigger=32 each micro-batch carries 32 source
-    * partitions, so a local[32] run can actually use all 32 cores (a batch
-    * of 8 files caps usable parallelism at 8 regardless of executor count —
-    * the round-1 scaling bug). */
+  /** Stage a replicated clip table (metadata + transcript) as `nFiles`
+    * parquet files. File-count choreography is the batch-parallelism lever
+    * (streaming batch parallelism = files per trigger, not cores): with
+    * nFiles=512 and maxFilesPerTrigger=128 every micro-batch runs 4 task
+    * WAVES at width 32 — a single 32-task wave is gated by its slowest
+    * task, which was the round-2 width-32 ceiling (and a batch of 8 files
+    * caps usable parallelism at 8 regardless of executor count — the
+    * round-1 bug). */
   private def stageInput(spark: SparkSession, sfDir: String, outDir: String,
-                         replicate: Int): Long = {
+                         replicate: Int, nFiles: Int): Long = {
     val clips = ClipTable.clips(spark, sfDir)
       .crossJoin(spark.range(replicate.toLong).select(col("id").as("rep")))
       .withColumn("clip_id", concat(col("clip_id"), lit("-r"), col("rep")))
       .drop("rep")
-    clips.repartition(128).write.mode("overwrite").parquet(outDir)
+    clips.repartition(nFiles).write.mode("overwrite").parquet(outDir)
     spark.read.parquet(outDir).count()
   }
 
@@ -58,7 +61,8 @@ object Bench {
     * mode: "sink" = exactly-once GraftTable commit (the north metric);
     *       "noop" = compute-only (isolates transform cost from sink I/O). */
   private def runPipeline(cpus: Int, inputDir: String, nClips: Long,
-                          mode: String = "sink"): Double = {
+                          mode: String = "sink",
+                          maxFilesPerTrigger: Int = 32): Double = {
     val spark = session(cpus)
     try {
       val schema = spark.read.parquet(inputDir).schema
@@ -73,7 +77,7 @@ object Bench {
       val tableDir = Files.createTempDirectory(benchRoot, s"table_$cpus").toString
       val sink = new ExactlyOnceSink(new GraftTable(tableDir))
       val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 32)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .parquet(inputDir)
       val transformed = mode match {
         case "audio" =>
@@ -147,8 +151,10 @@ object Bench {
         // the trigger overhead. (Round-2 finding: at 20× the wide config's
         // batches were ~1.5s and the driver share capped efficiency.)
         val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE",
-          if (mode == "audio") "3" else "60").toInt
-        val nClips = stageInput(spark, sfDir, inputDir, replicate)
+          if (mode == "audio") "3" else "40").toInt
+        val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "512").toInt
+        val mfpt = sys.env.getOrElse("SPARK_GRAFT_BENCH_MFPT", (nFiles / 4).toString).toInt
+        val nClips = stageInput(spark, sfDir, inputDir, replicate, nFiles)
         spark.stop()
         // The sandbox host is shared: load-average spikes from other
         // tenants corrupt wide runs far more than narrow ones. Alternate
@@ -157,7 +163,7 @@ object Bench {
         def loadAvg: Double =
           java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
         val loadBefore = loadAvg
-        runPipeline(32, inputDir, nClips, mode) // JIT/page-cache warmup (untimed)
+        runPipeline(32, inputDir, nClips, mode, mfpt) // JIT/page-cache warmup (untimed)
         val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
         // Two N→4N pairs: 8→32 uses the whole box (sensitive to neighbor
         // load — this host routinely runs 10-14 cores of other tenants),
@@ -174,11 +180,11 @@ object Bench {
         // contaminated by our own trailing load average — inflating the
         // narrow denominator is the CONSERVATIVE direction for the N→4N
         // efficiency numbers.
-        t2 += runPipeline(2, inputDir, nClips, mode)
+        t2 += runPipeline(2, inputDir, nClips, mode, mfpt)
         for (_ <- 1 to trials) {
           loads += loadAvg
-          t32 += runPipeline(32, inputDir, nClips, mode)
-          t8 += runPipeline(8, inputDir, nClips, mode)
+          t32 += runPipeline(32, inputDir, nClips, mode, mfpt)
+          t8 += runPipeline(8, inputDir, nClips, mode, mfpt)
         }
         def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
         val thr32 = med(t32.toSeq); val thr8 = med(t8.toSeq); val thr2 = t2.max
