@@ -77,6 +77,19 @@ object StreamingJobs {
         col("event_time"), col("active_from"))
   }
 
+  /** Streaming exact deduplication over a content key — the training-data
+    * dedup operator in its streaming form: state holds one key per seen
+    * clip within the watermark horizon, so duplicates arriving across
+    * micro-batches are dropped exactly once and state is evicted as event
+    * time advances (bounded state at 10^12 scale; exact dedup over ALL
+    * history belongs to the batch `Dedup.exact` + compaction path). */
+  def dedupStream(clipStream: DataFrame, watermark: String = "1 hour"): DataFrame =
+    clipStream
+      .withColumn("event_time", col("event_time").cast("timestamp"))
+      .withColumn("content_key", md5(concat_ws("|", col("transcript"), col("codec"), col("sr_hz"))))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("content_key")
+
   /** Streaming CEP: A-then-B-within-T per event key via
     * flatMapGroupsWithState, same transition function as the batch form
     * ([[Cep.step]]). State = the armed A timestamp; watermark-driven

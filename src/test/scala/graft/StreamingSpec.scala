@@ -437,6 +437,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sameElements(expected))
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Clip]
+    val q = StreamingJobs.dedupStream(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      ms.addData(
+        clip("clip-d0-s0-0000000001", "same text", "2025-09-19 10:00:00", 1),
+        clip("clip-d0-s0-0000000002", "same text", "2025-09-19 10:01:00", 2), // in-batch dup
+        clip("clip-d0-s0-0000000003", "other text", "2025-09-19 10:02:00", 3))
+      q.processAllAvailable()
+      // cross-batch duplicate within the watermark horizon → dropped
+      ms.addData(clip("clip-d0-s0-0000000004", "same text", "2025-09-19 10:10:00", 4))
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM dedup_out").count() == 2)
+      // advance event time far past the watermark → state evicted → the
+      // same content admits again (the documented horizon semantics)
+      ms.addData(clip("clip-d0-s0-0000000005", "advance", "2025-09-19 20:00:00", 5))
+      q.processAllAvailable()
+      ms.addData(clip("clip-d0-s0-0000000006", "same text", "2025-09-19 20:01:00", 6))
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM dedup_out WHERE transcript = 'same text'").count() == 2)
+    } finally q.stop()
+  }
+
   test("labeled error counters: decode skips counted per batch by error type") {
     val s = spark
     import s.implicits._
