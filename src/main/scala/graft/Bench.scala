@@ -49,9 +49,14 @@ object Bench {
     * round-1 bug). */
   private def stageInput(spark: SparkSession, sfDir: String, outDir: String,
                          replicate: Int, nFiles: Int): Long = {
+    // The "-p0" tail keeps the replica id INSIDE the event key (eventKey
+    // drops the last two '-' segments): staged keys stay high-cardinality
+    // (one per source clip) instead of collapsing to the fixture's 32 —
+    // at width 32 a 32-key stateful shuffle is one key per core and the
+    // CEP path measures key starvation, not the engine.
     val clips = ClipTable.clips(spark, sfDir)
       .crossJoin(spark.range(replicate.toLong).select(col("id").as("rep")))
-      .withColumn("clip_id", concat(col("clip_id"), lit("-r"), col("rep")))
+      .withColumn("clip_id", concat(col("clip_id"), lit("-r"), col("rep"), lit("-p0")))
       .drop("rep")
     clips.repartition(nFiles).write.mode("overwrite").parquet(outDir)
     spark.read.parquet(outDir).count()

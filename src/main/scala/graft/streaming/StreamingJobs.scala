@@ -129,8 +129,15 @@ object StreamingJobs {
               maxUs = math.max(maxUs, tsUs(r.event_time))
             }
             state.update(CepState(st.lastAUs.getOrElse(-1L)))
-            if (maxUs != Long.MinValue)
-              state.setTimeoutTimestamp(maxUs / 1000L + withinS * 1000L) // ms
+            if (maxUs != Long.MinValue) {
+              // A group whose newest event already trails the watermark
+              // (wide event-time span within one micro-batch) would set a
+              // timeout in the past — an engine error. Clamp to just past
+              // the watermark: the armed A is expired anyway, this evicts
+              // it at the next trigger.
+              val wantMs = maxUs / 1000L + withinS * 1000L
+              state.setTimeoutTimestamp(math.max(wantMs, state.getCurrentWatermarkMs() + 1L))
+            }
             out.result().iterator
           }
         })

@@ -3,6 +3,7 @@ package graft
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.operators.Pipeline
 import graft.audio.Rules
 
@@ -67,6 +68,36 @@ class PropertySpec extends AnyFunSuite {
           }.toLong
         }.sum
         assert(nEvents == expected, s"filter=$filter rows=${rows.size}")
+    }
+  }
+
+  test("X2 coercion: total function with the 3-way branch semantics") {
+    val s = spark
+    import s.implicits._
+    val tokenGen = Gen.oneOf("fail", "pass", "a b", "x\"y", "")
+    // (raw string, expected coercion) pairs covering all three branches
+    val caseGen: Gen[(String, Seq[String])] = Gen.frequency(
+      4 -> Gen.listOf(tokenGen).map { ts =>
+        val raw = ts.map(t => "\"" + t.replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
+        (raw, ts) // valid JSON array → its string elements, in order
+      },
+      1 -> Gen.listOf(tokenGen).map { ts =>
+        // null elements inside the array are skipped
+        val raw = ts.map(t => "\"" + t.replace("\"", "\\\"") + "\"").mkString("[", ",null,", "]")
+        (raw, ts)
+      },
+      3 -> Gen.alphaStr.map(s => (s + "-plain", Seq(s + "-plain"))), // never valid JSON
+      2 -> Gen.const(("""{"an":"object"}""", Seq.empty[String])),    // ill-typed → skip
+      1 -> Gen.const(("[\"broken", Seq("[\"broken"))))               // invalid JSON → plain
+    samples(Gen.listOfN(30, caseGen), 4).foreach { cases =>
+      val df = cases.zipWithIndex.map { case ((r, _), i) => (i.toLong, r) }.toDF("event_id", "raw")
+      val out = df.select(col("event_id"),
+        graft.operators.Coerce.coerceResults(col("raw")).as("c"))
+        .collect().sortBy(_.getAs[Long]("event_id"))
+      assert(out.length == cases.length) // total: never throws, never drops rows
+      out.zip(cases).foreach { case (row, (raw, expected)) =>
+        assert(row.getSeq[String](1) == expected, s"raw=$raw")
+      }
     }
   }
 

@@ -250,6 +250,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); s.streams.removeListener(listener) }
   }
 
+  test("CEP survives groups arriving entirely behind the watermark (timeout clamp)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Clip]
+    val q = StreamingJobs.streamingCep(s, StreamingJobs.events(s, ms.toDF()))
+      .writeStream.outputMode("append").format("memory").queryName("cep_clamp").start()
+    try {
+      // push the watermark to ~19:00 via an unrelated key
+      ms.addData(clip("clip-zz-s0-0000000001", "login ok", "2025-09-19 20:00:00", 1))
+      q.processAllAvailable()
+      // a NEW key whose only events sit far BEHIND the watermark: its
+      // desired timeout (event time + T) is in the past — unclamped, the
+      // engine rejects it and the query dies
+      ms.addData(clip("clip-old-s0-0000000002", "access denied", "2025-09-19 10:00:00", 2))
+      q.processAllAvailable()
+      assert(q.isActive, s"query died: ${Option(q.exception).flatten}")
+    } finally q.stop()
+  }
+
   test("CEP state is evicted by event-time timeout: stale armed A cannot fire") {
     val s = spark
     import s.implicits._
