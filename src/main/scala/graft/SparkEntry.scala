@@ -190,6 +190,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> ((s, dir) => Similarity.cosineNearDup(Similarity.embeddings(s, dir))),
     "sim_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(Similarity.embeddings(s, dir))),
     "sim_ivf_bucket" -> ((s, dir) => Similarity.ivfTopNeighbor(Similarity.embeddings(s, dir))),
+    "sim_ivf_multiprobe" -> ((s, dir) => Similarity.ivfMultiprobeTopK(Similarity.embeddings(s, dir))),
     // Multimodal plumbing: opaque binary + typed metadata → decode →
     // feature extraction (RMS/peak/frame sampling) via the registered
     // Catalyst decode expression. The audio bytes never exist in DuckDB,
@@ -270,6 +271,7 @@ ORDER BY risk_score DESC, event_uid ASC LIMIT 20"""),
     "dedup_embed_cosine" -> Similarity.cosineNearDupSql(),
     "sim_bruteforce_topk" -> Similarity.bruteForceTopKSql(),
     "sim_ivf_bucket" -> Similarity.ivfTopNeighborSql,
+    "sim_ivf_multiprobe" -> Similarity.ivfMultiprobeTopKSql(),
     "j_interval" -> (Oracles.prelude +
       s", ev AS (${Oracles.eventsSelect(Nil)}),\n${IntervalJoin.activationsSqlDuck.trim}\n${IntervalJoin.joinSqlDuck}"),
     "x2_poly_coerce" -> (ClipTable.oraclePrelude + graft.operators.Coerce.polymorphicSql),

@@ -91,6 +91,10 @@ WHERE rank <= $k"""
        + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
        + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END AS BIGINT)"""
 
+  /** (vec_id, bucket) — the coarse-quantizer cell per vector (test/metrics). */
+  def buckets(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), bucketExpr.as("bucket"))
+
   /** IVF-bucketed top-1 neighbor per vector: search within the bucket only. */
   def ivfTopNeighbor(emb: DataFrame): DataFrame = {
     val e = withNorm(emb).withColumn("bucket", bucketExpr)
@@ -116,6 +120,45 @@ SELECT vec_id, bucket, n_id, cos_x10000 FROM (
   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_x10000 DESC, n_id ASC) AS rn
   FROM pairs) t
 WHERE rn = 1"""
+
+  /** IVF multiprobe top-k for the query subset: probe the query's own
+    * bucket plus every hamming-1 neighbor bucket (5 of 16 cells) — the
+    * standard recall lever for an inverted-file index: a query near a
+    * quantizer boundary finds neighbors that fell just across it. The
+    * candidate set is a strict superset of the single-probe search, so
+    * recall vs brute force is monotonically ≥ (pinned in PlanSpec), while
+    * the pair space stays ~5/16 of brute force instead of all-pairs. */
+  def ivfMultiprobeTopK(emb: DataFrame, k: Int = 10): DataFrame = {
+    val e = withNorm(emb).withColumn("bucket", bucketExpr)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+        explode(expr("array(bucket, bucket ^ 1L, bucket ^ 2L, bucket ^ 4L, bucket ^ 8L)")).as("probe"))
+    val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("nrm").as("n_nrm"), col("bucket"))
+    n.join(broadcast(q), col("bucket") === col("probe") && col("n_id") =!= col("q_id"))
+      .withColumn("cos_x10000", cosX10000("q_emb", "n_emb", "q_nrm", "n_nrm"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_x10000").desc, col("n_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("bigint").as("rank"), col("cos_x10000"))
+  }
+
+  def ivfMultiprobeTopKSql(k: Int = 10): String = s"""
+WITH $withNormDuck,
+eb AS (SELECT vec_id, embedding, nrm, $bucketDuck AS bucket FROM e),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+         unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS probe
+  FROM eb WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q_id, n.vec_id AS n_id,
+         ${cosDuck("q_emb", "n.embedding", "q_nrm", "n.nrm")} AS cos_x10000
+  FROM eb n JOIN q ON n.bucket = q.probe AND n.vec_id <> q.q_id)
+SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, cos_x10000 FROM (
+  SELECT q_id, n_id, cos_x10000,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_x10000 DESC, n_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= $k"""
 
   /** Embedding-cosine near-dup pairs above a threshold (a<b). */
   def cosineNearDup(emb: DataFrame, minX10000: Long = 3000): DataFrame = {

@@ -62,6 +62,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"global sort for a LIMIT query:\n$plan")
   }
 
+  test("IVF multiprobe: recall@10 vs brute-force truth, monotone over single-probe") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val truth = pairs(graft.operators.Similarity.bruteForceTopK(emb))
+    val multi = graft.operators.Similarity.ivfMultiprobeTopK(emb)
+    // single-probe = the multiprobe restricted to the query's own bucket:
+    // rank within that smaller candidate set via a fresh window
+    val b = graft.operators.Similarity.buckets(emb)
+    val single = graft.operators.Similarity.ivfMultiprobeTopK(emb, k = Int.MaxValue)
+      .join(b.select(col("vec_id").as("q_id"), col("bucket").as("q_bucket")), Seq("q_id"))
+      .join(b.select(col("vec_id").as("n_id"), col("bucket").as("n_bucket")), Seq("n_id"))
+      .filter(col("q_bucket") === col("n_bucket"))
+      .withColumn("rn", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos_x10000 DESC, n_id ASC)"))
+      .filter(col("rn") <= 10)
+    val rMulti = pairs(multi).count(truth.contains).toDouble / truth.size
+    val rSingle = pairs(single).count(truth.contains).toDouble / truth.size
+    info(f"recall@10: multiprobe=$rMulti%.2f single-probe=$rSingle%.2f")
+    assert(rMulti >= rSingle, "superset candidates cannot lower recall")
+    assert(rMulti > 0.0)
+  }
+
   test("salted HLL merge carries sketches, not clip_id sets") {
     val plan = planOf(graft.operators.Salting.tumblingSaltedSketch(
       Pipeline.events(spark, ClipTable.clips(spark, sf))))
