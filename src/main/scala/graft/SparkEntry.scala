@@ -182,6 +182,10 @@ object SparkEntry {
     "txt_langid" -> ((s, dir) => TextOps.langId(TextOps.docs(s, dir))),
     "txt_tokens" -> ((s, dir) => TextOps.tokenCounts(TextOps.docs(s, dir))),
     "txt_fingerprint" -> ((s, dir) => TextOps.fingerprint(TextOps.docs(s, dir))),
+    // Deterministic hash split + per-shard block sequence packing — the
+    // reproducibility-critical training-data ops (never rand())
+    "td_train_split" -> ((s, dir) => TextOps.trainSplit(TextOps.docs(s, dir))),
+    "td_pack_sequences" -> ((s, dir) => TextOps.packSequences(TextOps.docs(s, dir))),
     "dedup_exact" -> ((s, dir) => Dedup.exact(TextOps.docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(TextOps.docs(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(TextOps.docs(s, dir))),
@@ -263,6 +267,8 @@ ORDER BY risk_score DESC, event_uid ASC LIMIT 20"""),
     "txt_langid" -> TextOps.langIdSql,
     "txt_tokens" -> TextOps.tokenCountsSql,
     "txt_fingerprint" -> TextOps.fingerprintSql,
+    "td_train_split" -> TextOps.trainSplitSql,
+    "td_pack_sequences" -> TextOps.packSequencesSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "dedup_minhash_lsh" -> Dedup.minhashLshSql(),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline, over
@@ -83,6 +84,53 @@ SELECT doc_id,
   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
   CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), t -> length(t) > 0)) AS BIGINT) AS word_tokens
 FROM documents"""
+
+  /** Deterministic train/val split on a content-stable hash of doc_id:
+    * reproducible across runs/engines/partitionings (never `rand()` — a
+    * resampled split silently leaks eval data at re-run). First two md5
+    * hex chars compared lexicographically: < "e6" ⇒ train (230/256 ≈ 90%). */
+  def trainSplit(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      when(substring(md5(col("doc_id").cast("string")), 1, 2) < "e6", "train")
+        .otherwise("val").as("split"))
+
+  val trainSplitSql: String = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 2) < 'e6' THEN 'train' ELSE 'val' END AS split
+FROM documents"""
+
+  /** Block sequence packing (GPT-style pretraining): concatenate documents
+    * in a deterministic order and chunk the token stream into fixed-size
+    * packs; a document may straddle a pack boundary. Scale-honest: packing
+    * is PER SHARD (16 md5 shards) so the running sum is a bounded window
+    * partition, not a single global sort — at 10^12 docs each shard packs
+    * independently on its own reducer. Emits the pack coordinates of each
+    * doc's first token. */
+  def packSequences(d: DataFrame, packTokens: Long = 4096L): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    d.select(col("doc_id"),
+      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10) AS BIGINT)").as("shard"),
+      size(toks).cast("bigint").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"cum_before div ${packTokens}L").as("pack_id"),
+        pmod(col("cum_before"), lit(packTokens)).as("pack_offset"))
+  }
+
+  def packSequencesSql(packTokens: Long = 4096L): String = s"""
+SELECT doc_id, shard, n_tokens,
+       CAST(cum_before // $packTokens AS BIGINT) AS pack_id,
+       CAST(cum_before % $packTokens AS BIGINT) AS pack_offset
+FROM (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM (
+    SELECT doc_id,
+           CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 AS BIGINT) AS shard,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents) t0) t1"""
 
   /** Position-weighted rolling fingerprint: order-sensitive like a rolling
     * hash, but expressed as a sum of positional terms so it is exact and
