@@ -457,6 +457,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sameElements(expected))
   }
 
+  test("filelog source: JSON-lines stream with tolerant decode feeds the pipeline") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("filelog").toString
+    def line(id: String, tr: String, t: String, eid: Long) =
+      s"""{"clip_id":"$id","sr_hz":16000,"dur_ms":500,"codec":"wav","transcript":"$tr","event_time":"$t","tenant_id":7,"event_id":$eid}"""
+    Files.write(java.nio.file.Paths.get(dir, "a.jsonl"), java.util.Arrays.asList(
+      line("clip-t0-s0-0000000001", "access denied", "2025-09-19T10:00:00Z", 1),
+      "this is not json at all",
+      line("clip-t0-s0-0000000002", "login ok", "2025-09-19T10:01:00Z", 2),
+      """{"valid_json": "but no clip_id"}""",
+      line("clip-t0-s0-0000000003", "nothing matches", "2025-09-19T10:02:00Z", 3)))
+    // batch form decodes 3 of 5 lines
+    assert(graft.sources.FileLog.readClipsBatch(s, dir).count() == 3)
+    // streaming form drives the full event pipeline end-to-end
+    val q = graft.sources.FileLog.readClips(s, dir)
+      .transform(df => StreamingJobs.events(s, df))
+      .writeStream.outputMode("append").format("memory").queryName("filelog_out").start()
+    try {
+      q.processAllAvailable()
+      // 2 transcript matches (access denied + login ok); malformed skipped
+      assert(s.sql("SELECT * FROM filelog_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     val s = spark
     import s.implicits._
