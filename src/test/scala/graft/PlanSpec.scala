@@ -86,6 +86,17 @@ class PlanSpec extends AnyFunSuite {
     assert(rMulti > 0.0)
   }
 
+  test("sequence packing: one exchange on shard, window stays partition-local") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.operators.TextOps.packSequences(docs))
+    // exactly one hash exchange (on shard) — the running sum must not
+    // trigger a single-partition global sort
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global single-partition window in the packing plan:\n$plan")
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(plan).size >= 1,
+      s"expected the shard exchange:\n$plan")
+  }
+
   test("salted HLL merge carries sketches, not clip_id sets") {
     val plan = planOf(graft.operators.Salting.tumblingSaltedSketch(
       Pipeline.events(spark, ClipTable.clips(spark, sf))))
