@@ -192,11 +192,15 @@ object Bench {
           t8 += runPipeline(8, inputDir, nClips, mode, mfpt)
         }
         def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+        // a 0.0 sample (no-progress fallback) must not poison the JSON
+        // with Infinity/NaN — that re-creates the round-1 "parsed": null
+        def ratio(num: Double, den: Double): Double =
+          if (den > 0.0) (num / den) / 4.0 else 0.0
         val thr32 = med(t32.toSeq); val thr8 = med(t8.toSeq); val thr2 = t2.max
-        val eff832 = (thr32 / thr8) / 4.0
-        val eff28 = (thr8 / thr2) / 4.0
-        val eff832best = (t32.max / t8.max) / 4.0
-        val eff28best = (t8.max / thr2) / 4.0
+        val eff832 = ratio(thr32, thr8)
+        val eff28 = ratio(thr8, thr2)
+        val eff832best = ratio(t32.max, t8.max)
+        val eff28best = ratio(t8.max, thr2)
         val loadAfter = loadAvg
         // free the tmpfs space for the next round
         import scala.sys.process._

@@ -34,8 +34,16 @@ object Cep {
       case RuleA => (ArmState(Some(e.tsUs)), None)
       case RuleB =>
         state.lastAUs match {
-          case Some(a) if e.tsUs - a <= withinS * 1000000L =>
+          case Some(a) if e.tsUs >= a && e.tsUs - a <= withinS * 1000000L =>
             (ArmState(None), Some(Detection(e.eventKey, e.clipId, a / 1000000L, e.tsUs / 1000000L)))
+          case Some(a) if e.tsUs < a =>
+            // Out-of-order B BEHIND the armed A (only reachable across
+            // micro-batches, where late rows still reach the function): in
+            // event-time order this B precedes the A, so it can neither
+            // fire nor consume it — ignore. Without the lower bound the
+            // negative delta passed `<= withinS` and emitted a B-before-A
+            // detection the batch oracle never produces.
+            (state, None)
           case _ => (ArmState(None), None) // B without (fresh) A disarms
         }
       case _ => (state, None)

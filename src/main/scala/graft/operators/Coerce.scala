@@ -21,7 +21,11 @@ object Coerce {
 
   def coerceResults(c: Column): Column = {
     val asArray = from_json(c, ArrayType(StringType))
-    when(asArray.isNotNull, filter(asArray, x => x.isNotNull))
+    // NULL input first: it is "no payload", not a plain string — without
+    // this branch `try_parse_json(NULL).isNull` routes it to array(NULL)
+    // and explode emits a phantom null-result row the oracle never has
+    when(c.isNull, array().cast("array<string>"))
+      .when(asArray.isNotNull, filter(asArray, x => x.isNotNull))
       .when(try_parse_json(c).isNull, array(c))
       .otherwise(array().cast("array<string>"))
   }

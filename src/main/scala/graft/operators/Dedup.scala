@@ -61,20 +61,28 @@ SELECT md5(substr(text, 1, 120)) AS content_hash,
 FROM documents GROUP BY 1"""
 
   // ----------------------------------------------------- n-gram Jaccard
-  /** Jaccard over 3-gram shingles for co-shingled pairs (a<b), ×1000
-    * integer-divided. Only pairs sharing ≥1 shingle are scored. */
-  def ngramJaccard(d: DataFrame, minX1000: Long = 200): DataFrame = {
-    val sh = shingleRows(d)
+  /** Shared scoring tail: (doc_a, doc_b, common) + per-doc shingle sizes →
+    * integer-scaled Jaccard, thresholded. Used by both the full co-shingled
+    * scorer and the LSH candidate-restricted verify so the two dedup paths
+    * cannot drift on the scaling/threshold semantics. */
+  private def jaccardScored(common: DataFrame, sh: DataFrame, minX1000: Long): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
       .withColumn("jac_x1000", expr("(1000 * common) div (sz_a + sz_b - common)"))
       .filter(col("jac_x1000") >= minX1000)
+  }
+
+  /** Jaccard over 3-gram shingles for co-shingled pairs (a<b), ×1000
+    * integer-divided. Only pairs sharing ≥1 shingle are scored. */
+  def ngramJaccard(d: DataFrame, minX1000: Long = 200): DataFrame = {
+    val sh = shingleRows(d)
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    jaccardScored(common, sh, minX1000)
       .select("doc_a", "doc_b", "common", "jac_x1000")
   }
 
@@ -118,17 +126,12 @@ WHERE (1000 * common) // (sa.sz + sb.sz - common) >= $minX1000"""
     // doc id + shingle), so verification work is Σ_cands |shingles|, never
     // the full co-shingled pair space (round-1 judge finding: joining cands
     // against the whole ngramJaccard relation defeats LSH at scale).
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
         col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jac_x1000", expr("(1000 * common) div (sz_a + sz_b - common)"))
-      .filter(col("jac_x1000") >= minX1000)
+    jaccardScored(common, sh, minX1000)
       .select("doc_a", "doc_b", "jac_x1000")
   }
 

@@ -28,9 +28,7 @@ object FileLog {
     StructField("event_id", LongType),
   ))
 
-  /** Streaming clip records from a directory of JSON-lines files.
-    * `withRaw = true` keeps the raw line + a validity flag (for labeled
-    * error accounting upstream of the drop). */
+  /** Streaming clip records from a directory of JSON-lines files. */
   def readClips(spark: SparkSession, dir: String,
                 maxFilesPerTrigger: Int = 32): DataFrame =
     decodeLines(

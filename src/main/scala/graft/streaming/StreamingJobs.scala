@@ -86,9 +86,12 @@ object StreamingJobs {
   def dedupStream(clipStream: DataFrame, watermark: String = "1 hour"): DataFrame =
     clipStream
       .withColumn("event_time", col("event_time").cast("timestamp"))
-      .withColumn("content_key", md5(concat_ws("|", col("transcript"), col("codec"), col("sr_hz"))))
       .withWatermark("event_time", watermark)
-      .dropDuplicatesWithinWatermark("content_key")
+      // dedup on the content COLUMNS, not a concat_ws hash: concat_ws
+      // skips NULL fields and a transcript containing the separator shifts
+      // field boundaries, so distinct records could collide and be
+      // silently dropped
+      .dropDuplicatesWithinWatermark("transcript", "codec", "sr_hz")
 
   /** Streaming CEP: A-then-B-within-T per event key via
     * flatMapGroupsWithState, same transition function as the batch form

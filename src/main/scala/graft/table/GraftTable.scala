@@ -65,16 +65,29 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  // (version, ids) cache: commit() consults committedBatchIds every batch,
+  // and re-reading every manifest's JSON per commit would make per-commit
+  // I/O O(commits) again (defeating the O(1) snapshot chain). The cache is
+  // advanced incrementally by commit()/compact(); a version mismatch (e.g.
+  // another writer instance) falls back to the full read.
+  private var idsCacheVersion: Long = -1L
+  private var idsCache: Set[Long] = Set.empty
+
   /** Batch ids covered by the current snapshot. Read from manifest CONTENT
     * (a compaction manifest carries the ids of every batch it rewrote, so
     * replays of compacted-away batches stay no-ops). */
   def committedBatchIds: Set[Long] = synchronized {
-    snapshotManifests(version).flatMap { m =>
-      val node = mapper.readTree(Files.readAllBytes(p("manifests", m)))
-      if (node.has("batchIds"))
-        node.get("batchIds").elements().asScala.map(_.asLong()).toSeq
-      else Seq(node.get("batchId").asLong())
-    }.toSet
+    val v = version
+    if (v != idsCacheVersion) {
+      idsCache = snapshotManifests(v).flatMap { m =>
+        val node = mapper.readTree(Files.readAllBytes(p("manifests", m)))
+        if (node.has("batchIds"))
+          node.get("batchIds").elements().asScala.map(_.asLong()).toSeq
+        else Seq(node.get("batchId").asLong())
+      }.toSet
+      idsCacheVersion = v
+    }
+    idsCache
   }
 
   /** (isRewrite, replacesUpTo) for one manifest: a compaction manifest
@@ -156,6 +169,29 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
+  /** Per-file lineage from freshly written parquet FOOTERS — driver-side
+    * metadata reads only, no second Spark job over the data. The directory
+    * stream is CLOSED (Files.list holds an fd until closed; leaking one per
+    * commit starves the driver over a long stream). */
+  private def writtenFiles(dataDir: Path, hconf: org.apache.hadoop.conf.Configuration): Array[(String, Long)] = {
+    val listing = Files.list(dataDir)
+    try {
+      listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toUri), hconf)
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try (f.toString, rd.getRecordCount) finally rd.close()
+        }.toArray.sortBy((x: (String, Long)) => x._1)
+    } finally listing.close()
+  }
+
+  private def filesJsonOf(written: Array[(String, Long)]): String =
+    written.map { case (path, rows) =>
+      s"""{"path":${jsonStr(path)},"rows":$rows}"""
+    }.mkString("[", ",", "]")
+
   /** Commit one micro-batch. Returns false (no-op) if batchId is already in
     * the current snapshot. Lineage = per-output-file row counts. */
   def commit(df: DataFrame, batchId: Long, metrics: Map[String, Long] = Map.empty): Boolean = synchronized {
@@ -163,22 +199,9 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     val dataDir = p("data", s"batch=$batchId")
     df.write.mode("overwrite").parquet(dataDir.toString)
 
-    // per-file lineage from the freshly written parquet FOOTERS — driver-side
-    // metadata reads only, no second Spark job over the data
-    val hconf = df.sparkSession.sessionState.newHadoopConf()
-    val written = Files.list(dataDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.toUri), hconf)
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try (f.toString, rd.getRecordCount) finally rd.close()
-      }.toArray.sortBy((x: (String, Long)) => x._1)
+    val written = writtenFiles(dataDir, df.sparkSession.sessionState.newHadoopConf())
     val totalRows = written.map(_._2).sum
-
-    val filesJson = written.map { case (path, rows) =>
-      s"""{"path":${jsonStr(path)},"rows":$rows}"""
-    }.mkString("[", ",", "]")
+    val filesJson = filesJsonOf(written)
     val metricsJson = metrics.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jsonStr(k)}:$v" }.mkString("{", ",", "}")
     val manifestName = s"manifest-$batchId.json"
@@ -195,6 +218,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
         s"""{"version":${v + 1},"parent":$v,"added":[${jsonStr(manifestName)}]}"""
     writeAtomic(p("snapshots", s"v${v + 1}.json"), snapshotJson)
     writeAtomic(p("VERSION"), (v + 1).toString)
+    if (idsCacheVersion == v) { idsCache += batchId; idsCacheVersion = v + 1 }
     true
   }
 
@@ -216,24 +240,15 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     readVersion(spark, v).repartition(targetFiles)
       .write.mode("overwrite").parquet(dataDir.toString)
 
-    val hconf = spark.sessionState.newHadoopConf()
-    val written = Files.list(dataDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.toUri), hconf)
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try (f.toString, rd.getRecordCount) finally rd.close()
-      }.toArray.sortBy((x: (String, Long)) => x._1)
-    val filesJson = written.map { case (path, rows) =>
-      s"""{"path":${jsonStr(path)},"rows":$rows}"""
-    }.mkString("[", ",", "]")
+    val written = writtenFiles(dataDir, spark.sessionState.newHadoopConf())
+    val filesJson = filesJsonOf(written)
     val manifestName = s"manifest-rewrite-v$v.json"
     writeAtomic(p("manifests", manifestName),
       s"""{"replacesUpTo":$v,"batchIds":${batchIds.toSeq.sorted.mkString("[", ",", "]")},"rows":${written.map(_._2).sum},"files":$filesJson,"metrics":{}}""")
     writeAtomic(p("snapshots", s"v${v + 1}.json"),
       s"""{"version":${v + 1},"manifests":[${jsonStr(manifestName)}]}""")
     writeAtomic(p("VERSION"), (v + 1).toString)
+    if (idsCacheVersion == v) idsCacheVersion = v + 1 // same ids, new version
     v + 1
   }
 

@@ -250,6 +250,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); s.streams.removeListener(listener) }
   }
 
+  test("CEP: a late B behind the armed A neither fires nor disarms") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Clip]
+    val q = StreamingJobs.streamingCep(s, StreamingJobs.events(s, ms.toDF()))
+      .writeStream.outputMode("append").format("memory").queryName("cep_late_b").start()
+    try {
+      // arm key clip-lb at A-time 12:01 (ts + 60s rewrite)
+      ms.addData(clip("clip-lb-s0-0000000001", "access denied", "2025-09-19 12:00:00", 1))
+      q.processAllAvailable()
+      // a LATE B whose event time (10:02) precedes the armed A: in event-time
+      // order it is B-then-A — must not emit a detection, must not consume A
+      ms.addData(clip("clip-lb-s0-0000000002", "privilege escalation", "2025-09-19 10:00:00", 2))
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM cep_late_b").count() == 0,
+        "late B behind the armed A produced a B-before-A detection")
+      // a genuine in-window B still fires against the still-armed A
+      ms.addData(clip("clip-lb-s0-0000000003", "privilege escalation", "2025-09-19 12:30:00", 3))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT * FROM cep_late_b").collect()
+      assert(rows.length == 1 && rows(0).getAs[String]("b_clip_id") == "clip-lb-s0-0000000003")
+    } finally q.stop()
+  }
+
   test("CEP survives groups arriving entirely behind the watermark (timeout clamp)") {
     val s = spark
     import s.implicits._
