@@ -128,11 +128,16 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
     *    (data files are never deleted by compact), with every rewrite
     *    manifest skipped — its rows were already delivered at their
     *    original versions. Either way: no duplicates, no gaps. */
-  private def readableManifests(k: Long, from: Long, chain: Set[String]): Seq[String] = {
-    val added = table.manifestsAddedAt(k)
-    if (from == 0L) added.filter(chain.contains)
-    else added.filterNot(m => table.manifestRewriteInfo(m)._1)
-  }
+  private def readableManifests(k: Long, from: Long, chain: Set[String]): Seq[String] =
+    table.manifestsAddedAt(k) match {
+      case None if from == 0L => Nil // expired by retention; not in the live chain
+      case None => throw new IllegalStateException(
+        s"stream resume offset $from predates retention at version $k of $root: " +
+          "restart from a fresh checkpoint (full backfill of the live chain)")
+      case Some(added) =>
+        if (from == 0L) added.filter(chain.contains)
+        else added.filterNot(m => table.manifestRewriteInfo(m)._1)
+    }
 
   /** Admit whole snapshot versions until the file budget is spent (at
     * least one version per trigger so the stream always advances). */

@@ -103,16 +103,21 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
 
   /** Manifests ADDED by commit k (the V2 source's per-version delta):
     * straight from the chain node's `added` list, or a set-diff at full
-    * checkpoints / rewrites. */
-  def manifestsAddedAt(k: Long): Seq[String] = synchronized {
-    if (k <= 0) Nil
+    * checkpoints / rewrites. None ⇔ version k was expired by [[vacuum]]
+    * (snapshot file gone) — fresh readers skip it (its manifests are not
+    * in the live chain), resumed readers behind it must fail loudly. */
+  def manifestsAddedAt(k: Long): Option[Seq[String]] = synchronized {
+    if (k <= 0) Some(Nil)
+    else if (!Files.exists(p("snapshots", s"v$k.json"))) None
     else {
       val node = mapper.readTree(Files.readAllBytes(p("snapshots", s"v$k.json")))
       if (node.has("added"))
-        node.get("added").elements().asScala.map(_.asText()).toSeq
+        Some(node.get("added").elements().asScala.map(_.asText()).toSeq)
       else {
-        val prev = snapshotManifests(k - 1).toSet
-        snapshotManifests(k).filterNot(prev)
+        val prev =
+          if (k == 1 || !Files.exists(p("snapshots", s"v${k - 1}.json"))) Set.empty[String]
+          else snapshotManifests(k - 1).toSet
+        Some(snapshotManifests(k).filterNot(prev))
       }
     }
   }
@@ -250,6 +255,60 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     writeAtomic(p("VERSION"), (v + 1).toString)
     if (idsCacheVersion == v) idsCacheVersion = v + 1 // same ids, new version
     v + 1
+  }
+
+  /** Retention: expire snapshots older than `keepFromVersion` and delete
+    * every data file and manifest no snapshot ≥ keepFromVersion references.
+    * The retention CONTRACT (same as any snapshot table): time travel to
+    * expired versions stops working, and a streaming reader must be past
+    * the expired range — vacuum after `compact()` only once readers have
+    * caught up (their offsets are snapshot versions, so "caught up" is
+    * checkable). Returns the number of deleted data files. */
+  def vacuum(keepFromVersion: Long): Int = synchronized {
+    val cur = version
+    require(keepFromVersion >= 1 && keepFromVersion <= cur,
+      s"keepFromVersion must be in [1, $cur]")
+    val keptManifests = (keepFromVersion to cur).flatMap(snapshotManifests).toSet
+    val keptFiles = keptManifests.flatMap(m => manifestFileRows(m).map(_._1))
+
+    var deleted = 0
+    val dataRoot = p("data")
+    if (Files.exists(dataRoot)) {
+      val dirs = Files.list(dataRoot)
+      try dirs.iterator().asScala.foreach { dir =>
+        val files = Files.list(dir)
+        try files.iterator().asScala.foreach { f =>
+          if (f.getFileName.toString.endsWith(".parquet") && !keptFiles.contains(f.toString)) {
+            Files.delete(f); deleted += 1
+          }
+        } finally files.close()
+      } finally dirs.close()
+    }
+    // expired snapshots + manifests last: readers resolve files first, so
+    // a crash mid-vacuum leaves only harmless extra metadata. Kept delta
+    // snapshots resolve through their PARENT chain, which bottoms out at
+    // the nearest full checkpoint at or below keepFromVersion — snapshot
+    // files may only be deleted strictly below that floor.
+    val floor = {
+      var k = keepFromVersion
+      var f = 0L
+      while (k > 0 && f == 0L) {
+        val node = mapper.readTree(Files.readAllBytes(p("snapshots", s"v$k.json")))
+        if (node.has("manifests")) f = k else k -= 1
+      }
+      f
+    }
+    (1L until floor).foreach { v =>
+      Files.deleteIfExists(p("snapshots", s"v$v.json"))
+    }
+    val manifestsDir = p("manifests")
+    if (Files.exists(manifestsDir)) {
+      val listing = Files.list(manifestsDir)
+      try listing.iterator().asScala.foreach { m =>
+        if (!keptManifests.contains(m.getFileName.toString)) Files.delete(m)
+      } finally listing.close()
+    }
+    deleted
   }
 
   /** Total committed row count straight from manifests (no data scan). */

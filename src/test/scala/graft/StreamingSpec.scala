@@ -376,6 +376,37 @@ class StreamingSpec extends AnyFunSuite {
       t.read(s).select("id").collect().map(_.getInt(0)).sorted))
   }
 
+  test("vacuum: retention deletes expired lineage, keeps the live chain") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_vac").toString)
+    (0 until 4).foreach(i =>
+      t.commit(Seq((i, s"b$i")).toDF("id", "v").coalesce(1), i.toLong))
+    // without compaction every manifest is still referenced: vacuum is a no-op
+    assert(t.vacuum(keepFromVersion = 4) == 0)
+    assert(t.readVersion(s, 2).count() == 2)
+    val compactV = t.compact(s, targetFiles = 1) // v5, full checkpoint
+    t.commit(Seq((100, "post")).toDF("id", "v").coalesce(1), 10L)
+    val deleted = t.vacuum(keepFromVersion = compactV)
+    assert(deleted == 4, s"expected the 4 pre-compaction files deleted, got $deleted")
+    // live chain fully intact: reads, batch-id idempotence, streaming
+    assert(t.read(s).count() == 5)
+    assert(t.committedBatchIds == Set(0L, 1L, 2L, 3L, 10L))
+    assert(!t.commit(Seq((9, "replay")).toDF("id", "v"), 1L))
+    // expired versions are gone (the documented retention contract)
+    intercept[Exception](t.readVersion(s, 2).count())
+    // idempotent
+    assert(t.vacuum(compactV) == 0)
+    // a fresh stream over the vacuumed table backfills the live chain
+    val dst = new GraftTable(Files.createTempDirectory("graft_vac_dst").toString)
+    val sink = new ExactlyOnceSink(dst)
+    val q = t.readStream(s).writeStream
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_vac").toString)
+      .foreachBatch(sink.write _).start()
+    q.processAllAvailable(); q.stop()
+    assert(dst.read(s).count() == 5)
+  }
+
   test("GraftTable time travel: historical snapshots stay readable") {
     val s = spark
     import s.implicits._
