@@ -10,8 +10,10 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("full_pipeline", "w_tumbling", "cep_sequence", "j_interval",
-        "dedup_minhash_lsh", "sim_bruteforce_topk")
+      else Seq("full_pipeline", "w_tumbling", "w_tumbling_salted_hll",
+        "cep_sequence", "j_interval", "dedup_minhash_lsh",
+        "dedup_simhash_pairs", "sim_bruteforce_topk", "sim_ivf_multiprobe",
+        "td_pack_sequences")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

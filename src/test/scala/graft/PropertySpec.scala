@@ -101,6 +101,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("table lifecycle property: random commit/replay/compact sequences read back exactly") {
+    val s = spark
+    import s.implicits._
+    // ops: commit fresh batch (60%), replay an old batchId (25%), compact (15%)
+    val opGen: Gen[Int] = Gen.frequency(6 -> 0, 2 -> 1, 2 -> 2)
+    samples(Gen.listOfN(10, opGen), 3).foreach { ops =>
+      val t = new graft.table.GraftTable(
+        java.nio.file.Files.createTempDirectory("prop_lifecycle").toString,
+        checkpointInterval = 3)
+      var nextId = 0L
+      val expected = scala.collection.mutable.ArrayBuffer[Int]()
+      ops.foreach {
+        case 0 =>
+          val rows = Seq(nextId.toInt * 2, nextId.toInt * 2 + 1)
+          assert(t.commit(rows.map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), nextId))
+          expected ++= rows; nextId += 1
+        case 1 if nextId > 0 =>
+          assert(!t.commit(Seq((999, "dupe")).toDF("id", "v"), nextId - 1))
+        case 2 if nextId > 0 =>
+          t.compact(s, targetFiles = 1)
+        case _ => () // replay/compact before any commit: skip
+      }
+      val got = t.read(s).select("id").collect().map(_.getInt(0)).sorted.toSeq
+      assert(got == expected.sorted.toSeq,
+        s"ops=$ops expected=${expected.sorted} got=$got")
+      assert(t.committedRows == expected.size.toLong)
+      // a fresh V2 stream backfills to the same multiset
+      val dst = new graft.table.GraftTable(
+        java.nio.file.Files.createTempDirectory("prop_lc_dst").toString)
+      if (expected.nonEmpty) {
+        val sink = new graft.table.ExactlyOnceSink(dst)
+        val q = t.readStream(s).writeStream
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("prop_lc_ckpt").toString)
+          .foreachBatch(sink.write _).start()
+        q.processAllAvailable(); q.stop()
+        val streamed = dst.read(s).select("id").collect().map(_.getInt(0)).sorted.toSeq
+        assert(streamed == expected.sorted.toSeq, s"stream backfill drift: ops=$ops")
+      }
+    }
+  }
+
   test("GraftTable commits are idempotent under repeated replay") {
     val s = spark
     import s.implicits._
