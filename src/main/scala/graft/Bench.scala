@@ -24,12 +24,18 @@ import graft.table.{ExactlyOnceSink, GraftTable}
 object Bench {
 
   private def session(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+    // RocksDB state store for the stateful (cep) mode: state off-heap on
+    // local disk with incremental snapshots — the >heap-state configuration
+    val s = (if (sys.env.contains("SPARK_GRAFT_BENCH_ROCKSDB"))
+      b0.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else b0)
       // zstd over snappy: ~2× smaller event files — the sink is disk-bound
       // in this single-disk sandbox and compression CPU scales with cores
       .config("spark.sql.parquet.compression.codec", "zstd")
