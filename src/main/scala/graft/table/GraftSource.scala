@@ -128,15 +128,26 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
     *    (data files are never deleted by compact), with every rewrite
     *    manifest skipped — its rows were already delivered at their
     *    original versions. Either way: no duplicates, no gaps. */
-  private def readableManifests(k: Long, from: Long, chain: Set[String]): Seq[String] =
+  /** First version in (from, to] whose snapshot metadata still exists —
+    * earlier versions were expired by vacuum. For a fresh reader that
+    * version serves the full chain prefix (retention may have erased the
+    * per-version attribution of older manifests, but the manifests
+    * themselves are still in the live chain). */
+  private def firstLiveVersion(from: Long, to: Long): Long =
+    (from + 1 to to).find(k => table.manifestsAddedAt(k).isDefined).getOrElse(to + 1)
+
+  private def readableManifests(k: Long, from: Long, chain: Set[String],
+                                firstLive: Long): Seq[String] =
     table.manifestsAddedAt(k) match {
-      case None if from == 0L => Nil // expired by retention; not in the live chain
+      case None if from == 0L => Nil // expired by retention; backfilled at firstLive
       case None => throw new IllegalStateException(
         s"stream resume offset $from predates retention at version $k of $root: " +
           "restart from a fresh checkpoint (full backfill of the live chain)")
       case Some(added) =>
-        if (from == 0L) added.filter(chain.contains)
-        else added.filterNot(m => table.manifestRewriteInfo(m)._1)
+        if (from == 0L) {
+          val ms = if (k == firstLive) table.manifestsUpTo(k) else added
+          ms.filter(chain.contains)
+        } else added.filterNot(m => table.manifestRewriteInfo(m)._1)
     }
 
   /** Admit whole snapshot versions until the file budget is spent (at
@@ -147,11 +158,12 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
     limit match {
       case mf: ReadMaxFiles if cur > from =>
         val chain = table.manifestsUpTo(cur).toSet
+        val firstLive = firstLiveVersion(from, cur)
         var v = from
         var files = 0
         var stop = false
         while (!stop && v < cur) {
-          val nFiles = readableManifests(v + 1, from, chain)
+          val nFiles = readableManifests(v + 1, from, chain, firstLive)
             .map(table.manifestFileRows(_).size).sum
           if (files > 0 && files + nFiles > mf.maxFiles()) stop = true
           else { files += nFiles; v += 1 }
@@ -165,8 +177,9 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
     val from = start.asInstanceOf[GraftOffset].version
     val to = end.asInstanceOf[GraftOffset].version
     val chain = table.manifestsUpTo(to).toSet
+    val firstLive = firstLiveVersion(from, to)
     (from + 1 to to)
-      .flatMap(readableManifests(_, from, chain))
+      .flatMap(readableManifests(_, from, chain, firstLive))
       .flatMap(table.manifestFileRows)
       .map { case (path, rows) => GraftInputPartition(path, rows) }
       .toArray

@@ -113,10 +113,14 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
       val node = mapper.readTree(Files.readAllBytes(p("snapshots", s"v$k.json")))
       if (node.has("added"))
         Some(node.get("added").elements().asScala.map(_.asText()).toSeq)
+      else if (k > 1 && !Files.exists(p("snapshots", s"v${k - 1}.json")))
+        // legacy full node with an expired predecessor: the delta is
+        // unrecoverable — returning the full chain here once re-delivered
+        // every earlier row to resumed readers. Treat as expired (loud
+        // fail for resumed readers, skip for fresh ones).
+        None
       else {
-        val prev =
-          if (k == 1 || !Files.exists(p("snapshots", s"v${k - 1}.json"))) Set.empty[String]
-          else snapshotManifests(k - 1).toSet
+        val prev = if (k == 1) Set.empty[String] else snapshotManifests(k - 1).toSet
         Some(snapshotManifests(k).filterNot(prev))
       }
     }
@@ -214,11 +218,15 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
       s"""{"batchId":$batchId,"rows":$totalRows,"files":$filesJson,"metrics":$metricsJson}""")
 
     val v = version
+    // every node carries its own "added" list: per-version deltas must stay
+    // resolvable even after vacuum expires the predecessor a full
+    // checkpoint would otherwise be diffed against (a diff fallback with a
+    // missing predecessor silently returned the WHOLE chain as "added")
     val snapshotJson =
       if ((v + 1) % checkpointInterval == 0) {
         // periodic full checkpoint bounds the resolution walk
         val manifests = snapshotManifests(v) :+ manifestName
-        s"""{"version":${v + 1},"manifests":${manifests.map(jsonStr).mkString("[", ",", "]")}}"""
+        s"""{"version":${v + 1},"added":[${jsonStr(manifestName)}],"manifests":${manifests.map(jsonStr).mkString("[", ",", "]")}}"""
       } else
         s"""{"version":${v + 1},"parent":$v,"added":[${jsonStr(manifestName)}]}"""
     writeAtomic(p("snapshots", s"v${v + 1}.json"), snapshotJson)
@@ -251,7 +259,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     writeAtomic(p("manifests", manifestName),
       s"""{"replacesUpTo":$v,"batchIds":${batchIds.toSeq.sorted.mkString("[", ",", "]")},"rows":${written.map(_._2).sum},"files":$filesJson,"metrics":{}}""")
     writeAtomic(p("snapshots", s"v${v + 1}.json"),
-      s"""{"version":${v + 1},"manifests":[${jsonStr(manifestName)}]}""")
+      s"""{"version":${v + 1},"added":[${jsonStr(manifestName)}],"manifests":[${jsonStr(manifestName)}]}""")
     writeAtomic(p("VERSION"), (v + 1).toString)
     if (idsCacheVersion == v) idsCacheVersion = v + 1 // same ids, new version
     v + 1
@@ -268,7 +276,13 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     val cur = version
     require(keepFromVersion >= 1 && keepFromVersion <= cur,
       s"keepFromVersion must be in [1, $cur]")
-    val keptManifests = (keepFromVersion to cur).flatMap(snapshotManifests).toSet
+    require(Files.exists(p("snapshots", s"v$keepFromVersion.json")),
+      s"snapshot v$keepFromVersion was already expired by an earlier vacuum")
+    // ONE chain resolution at the keep point + the per-version added
+    // deltas after it — O(range) metadata reads, not a fresh chain walk
+    // per kept version
+    val keptManifests = (snapshotManifests(keepFromVersion) ++
+      (keepFromVersion + 1 to cur).flatMap(k => manifestsAddedAt(k).getOrElse(Nil))).toSet
     val keptFiles = keptManifests.flatMap(m => manifestFileRows(m).map(_._1))
 
     var deleted = 0

@@ -104,7 +104,7 @@ class PropertySpec extends AnyFunSuite {
   test("table lifecycle property: random commit/replay/compact sequences read back exactly") {
     val s = spark
     import s.implicits._
-    // ops: commit fresh batch (60%), replay an old batchId (25%), compact (15%)
+    // ops: commit fresh batch (60%), replay an old batchId (20%), compact (20%)
     val opGen: Gen[Int] = Gen.frequency(6 -> 0, 2 -> 1, 2 -> 2)
     samples(Gen.listOfN(10, opGen), 3).foreach { ops =>
       val t = new graft.table.GraftTable(
@@ -118,7 +118,10 @@ class PropertySpec extends AnyFunSuite {
           assert(t.commit(rows.map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), nextId))
           expected ++= rows; nextId += 1
         case 1 if nextId > 0 =>
-          assert(!t.commit(Seq((999, "dupe")).toDF("id", "v"), nextId - 1))
+          // replay the MIDDLE batchId, not just the latest: after a compact
+          // it exercises idempotence of a batch whose manifest was rewritten
+          // away (the rewrite manifest's batchIds list must still block it)
+          assert(!t.commit(Seq((999, "dupe")).toDF("id", "v"), (nextId - 1) / 2))
         case 2 if nextId > 0 =>
           t.compact(s, targetFiles = 1)
         case _ => () // replay/compact before any commit: skip

@@ -407,6 +407,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(dst.read(s).count() == 5)
   }
 
+  test("vacuum + periodic checkpoint: resumed reader gets only its delta") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_vac_ckpt").toString,
+      checkpointInterval = 3)
+    (0 until 5).foreach(i =>
+      t.commit(Seq((i, s"v$i")).toDF("id", "v").coalesce(1), i.toLong))
+    // floor = the v3 periodic checkpoint → snapshots v1..v2 expire
+    t.vacuum(keepFromVersion = 4)
+    val stream = new GraftMicroBatchStream(t.root, t.read(s).schema, None)
+    def dirs(from: Long) = stream
+      .planInputPartitions(GraftOffset(from), GraftOffset(t.version))
+      .map(_.asInstanceOf[GraftInputPartition].path).toSeq
+    // reader that consumed v1..v2 resumes at the checkpoint version: must
+    // get ONLY batches 2,3,4 — the pre-fix checkpoint diff against the
+    // expired predecessor re-delivered the whole chain as one "delta"
+    val resumed = dirs(2)
+    assert(Seq(2, 3, 4).forall(b => resumed.exists(_.contains(s"batch=$b"))), resumed)
+    assert(!resumed.exists(p => p.contains("batch=0") || p.contains("batch=1")),
+      s"chain re-delivered after vacuum: $resumed")
+    // a reader strictly behind the retention floor fails loudly
+    intercept[IllegalStateException](dirs(1))
+    // a fresh reader still backfills everything (files were never deleted)
+    assert(Seq(0, 1, 2, 3, 4).forall(b => dirs(0).exists(_.contains(s"batch=$b"))))
+  }
+
   test("GraftTable time travel: historical snapshots stay readable") {
     val s = spark
     import s.implicits._
