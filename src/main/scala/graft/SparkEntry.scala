@@ -121,6 +121,27 @@ object SparkEntry {
           when(col("r.ts_offset_s") > 0, col("r.ts_offset_s") * 1000000000L)
             .otherwise(0L)).as("event_time_ns"))
     }),
+    // Multimodal "resize": linear-interpolation resample to a 16 kHz
+    // target (the audio analog of image resize). Deterministic-integer
+    // contract: output length is exact arithmetic; signal content pinned
+    // by the same sine bands as mm_audio_features (the resampled sine
+    // keeps amplitude 0.5 → rms ~354, peak ~500) plus an SNR test.
+    "mm_resample_meta" -> ((s, dir) => {
+      graft.functions.AudioFunctions.register(s)
+      import graft.functions.AudioFunctions._
+      clips(s, dir).filter(Pipeline.gate)
+        .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+        .withColumn("pcm", pcm_decode(col("bytes"), col("codec")))
+        .withColumn("pcm16k", pcm_resample(col("pcm"), col("sr_hz"), lit(16000)))
+        .withColumn("rms_x1000",
+          expr("CAST(round(1000 * sqrt(aggregate(transform(pcm16k, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v) / size(pcm16k))) AS BIGINT)"))
+        .select(col("clip_id"), col("sr_hz"),
+          size(col("pcm")).cast("bigint").as("n_src"),
+          size(col("pcm16k")).cast("bigint").as("n_16k"),
+          // linear interp attenuates between-sample points by cos(w/2)
+          // (worst case f=1045 @ sr=8000 upsampled: rms ≈ 354·0.959 ≈ 340)
+          when(col("rms_x1000").between(335L, 360L), 1L).otherwise(0L).as("rms_ok"))
+    }),
     // E1 owner-reference workload extraction (higher-order array functions)
     "e1_owner_refs" -> ((s, dir) => {
       val withRefs = ClipTable.withOwnerRefs(clips(s, dir))
@@ -298,6 +319,13 @@ UNION ALL SELECT clip_id, 'clip.dur_s', 'double', NULL, NULL, dur_ms / 1000.0, N
 UNION ALL SELECT clip_id, 'clip.is_wav', 'bool', NULL, NULL, NULL, codec = 'wav', NULL, NULL FROM clips
 UNION ALL SELECT clip_id, 'clip.tags', 'slice', NULL, NULL, NULL, NULL, to_json(['audio', codec]), NULL FROM clips
 UNION ALL SELECT clip_id, 'clip.props', 'map', NULL, NULL, NULL, NULL, NULL, to_json(MAP {'tenant': CAST(tenant_id AS STRING)}) FROM clips"""),
+    "mm_resample_meta" -> (ClipTable.oraclePrelude + """
+SELECT clip_id, sr_hz,
+  (CAST(sr_hz AS BIGINT) * dur_ms) // 1000 AS n_src,
+  (((CAST(sr_hz AS BIGINT) * dur_ms) // 1000) * 16000) // sr_hz AS n_16k,
+  CAST(1 AS BIGINT) AS rms_ok
+FROM clips
+WHERE codec IN ('pcm_s16le','wav') AND transcript IS NOT NULL"""),
     "agg_approx_distinct" -> Oracles.withEvents("""
 SELECT event_key, COUNT(DISTINCT clip_id) AS exact_clips,
        CAST(1 AS BIGINT) AS approx_ok_5pct

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -110,6 +110,29 @@ object PcmCodec {
     case _ => null
   }
 
+  /** Linear-interpolation resample src→dst Hz; null on non-positive rates.
+    * Output i reads source position i·src/dst (exact double math), clamped
+    * interpolation at the tail. */
+  def resample(pcm: Array[Float], srcHz: Int, dstHz: Int): Array[Float] = {
+    if (srcHz <= 0 || dstHz <= 0) return null
+    val n = pcm.length
+    val outN = (n.toLong * dstHz / srcHz).toInt
+    val out = new Array[Float](outN)
+    val step = srcHz.toDouble / dstHz
+    var i = 0
+    while (i < outN) {
+      val pos = i * step
+      val j = pos.toInt
+      if (j >= n - 1) out(i) = pcm(n - 1)
+      else {
+        val frac = pos - j
+        out(i) = (pcm(j) * (1.0 - frac) + pcm(j + 1) * frac).toFloat
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Signal-to-noise ratio in dB between a reference signal and a decode. */
   def snrDb(ref: Array[Float], got: Array[Float]): Double = {
     require(ref.length == got.length, s"length mismatch ${ref.length} vs ${got.length}")
@@ -192,6 +215,40 @@ case class PcmDecode(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Catalyst expression: pcm_resample(pcm, src_hz, dst_hz) → array<float>.
+  * Linear-interpolation resampling — the audio analog of the multimodal
+  * "resize" op. Output sample i sits at source position i·src/dst;
+  * n_out = floor(n_in · dst / src). Codegen'd tight loop. */
+case class PcmResample(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType, containsNull = false), IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(pcmAny: Any, srcAny: Any, dstAny: Any): Any = {
+    val pcm = pcmAny.asInstanceOf[ArrayData]
+    val arr = PcmCodec.resample(pcm.toFloatArray(),
+      srcAny.asInstanceOf[Int], dstAny.asInstanceOf[Int])
+    if (arr == null) null else ArrayData.toArrayData(arr)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (pcm, src, dst) => {
+      val arr = ctx.freshName("resampled")
+      s"""
+         |final float[] $arr =
+         |  graft.functions.PcmCodec.resample($pcm.toFloatArray(), $src, $dst);
+         |if ($arr == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object AudioFunctions {
   /** Column builders resolve through the function registry at analysis
     * time, so callers must have run [[register]] on the session first —
@@ -204,6 +261,9 @@ object AudioFunctions {
   def pcm_decode(bytes: Column, codec: Column): Column =
     org.apache.spark.sql.functions.call_function("pcm_decode", bytes, codec)
 
+  def pcm_resample(pcm: Column, srcHz: Column, dstHz: Column): Column =
+    org.apache.spark.sql.functions.call_function("pcm_resample", pcm, srcHz, dstHz)
+
   /** SQL registration so `spark.sql("... pcm_decode(bytes, codec) ...")`
     * works (SparkSessionExtensions-style function injection). */
   def register(spark: SparkSession): Unit = {
@@ -211,6 +271,8 @@ object AudioFunctions {
       "pcm_synth", exprs => PcmSynth(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pcm_decode", exprs => PcmDecode(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pcm_resample", exprs => PcmResample(exprs(0), exprs(1), exprs(2)), "scala_udf")
   }
 
   /** The FIXTURES §1 frequency rule: 220 + (i % 16)·55 Hz. */

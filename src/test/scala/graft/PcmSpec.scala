@@ -30,6 +30,39 @@ class PcmSpec extends AnyFunSuite {
     assert(PcmCodec.snrDb(ref, got) >= 30.0)
   }
 
+  test("resample (multimodal resize): SNR >= 30 dB vs direct synth at target rate") {
+    // integer-ratio decimation (48k→16k): output instants coincide with
+    // source instants — only quantization noise remains
+    val got48 = PcmCodec.resample(PcmCodec.sine(440.0, 48000, 200), 48000, 16000)
+    val ref16 = PcmCodec.sine(440.0, 16000, 200)
+    assert(got48.length == ref16.length)
+    assert(PcmCodec.snrDb(ref16, got48) >= 30.0)
+    // non-integer ratio (44.1k→16k): true linear interpolation
+    val got441 = PcmCodec.resample(PcmCodec.sine(440.0, 44100, 200), 44100, 16000)
+    assert(got441.length == (44100L * 200 / 1000 * 16000 / 44100).toInt)
+    val ref = PcmCodec.sine(440.0, 16000, 200)
+    assert(PcmCodec.snrDb(ref.take(got441.length), got441.take(ref.length)) >= 30.0)
+    // degenerate rates → null, not a crash
+    assert(PcmCodec.resample(Array(0.1f), 0, 16000) == null)
+  }
+
+  test("pcm_resample through a DataFrame plan (codegen path)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, 48000, 200), (2L, 44100, 300), (3L, 16000, 500))
+      .toDF("id", "sr_hz", "dur_ms")
+    val out = rows
+      .withColumn("pcm", AudioFunctions.pcm_decode(
+        AudioFunctions.pcm_synth(lit(440.0), col("sr_hz"), col("dur_ms"), lit("pcm_s16le")),
+        lit("pcm_s16le")))
+      .withColumn("pcm16k", AudioFunctions.pcm_resample(col("pcm"), col("sr_hz"), lit(16000)))
+      .select(col("id"), size(col("pcm")).as("n"), size(col("pcm16k")).as("n16"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((9600, 3200)))
+    assert(out(2L) == ((13230, 4800)))
+    assert(out(3L) == ((8000, 8000))) // identity ratio
+  }
+
   test("unsupported codec decodes to null (gate pass-through path)") {
     assert(PcmCodec.synth(220.0, 8000, 200, "opus-stub") == null)
     assert(PcmCodec.decode(Array[Byte](1, 2, 3), "opus-stub") == null)
