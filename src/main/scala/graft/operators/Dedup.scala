@@ -106,16 +106,18 @@ WHERE (1000 * common) // (sa.sz + sb.sz - common) >= $minX1000"""
     * verified with exact Jaccard ≥ threshold. */
   def minhashLsh(d: DataFrame, minX1000: Long = 200): DataFrame = {
     val sh = shingleRows(d)
-    val sig = sh
-      .withColumn("h", explode(sequence(lit(0), lit(7))))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(md5(concat(col("h").cast("string"), lit(":"), col("shingle")))).as("mh"))
-      .groupBy(col("doc_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(h, mh))), x -> x.mh)").as("sig"))
+    // 8 min-hashes as EIGHT aggregates of ONE groupBy: the map side
+    // computes all mins partially per partition, so the only shuffle
+    // carries one pre-aggregated row per (partition, doc) — the previous
+    // form exploded every shingle ×8 through a (doc,h) exchange plus a
+    // second collect_list exchange for the same values
+    val mins = (0 until 8).map(h =>
+      min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"mh$h"))
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandKeys = array((0 until 4).map(b =>
+      md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)
     val bands = sig
-      .withColumn("b", explode(sequence(lit(0), lit(3))))
-      .select(col("doc_id"), col("b"),
-        md5(concat(expr("element_at(sig, 2 * b + 1)"), expr("element_at(sig, 2 * b + 2)"))).as("band_key"))
+      .select(col("doc_id"), posexplode(bandKeys).as(Seq("b", "band_key")))
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.band_key") === col("y.band_key") &&
@@ -137,15 +139,13 @@ WHERE (1000 * common) // (sa.sz + sb.sz - common) >= $minX1000"""
 
   def minhashLshSql(minX1000: Long = 200): String = s"""
 WITH $shingleRowsDuck,
-mh AS (
-  SELECT doc_id, h, MIN(md5(CAST(h AS STRING) || ':' || shingle)) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS h) hs
-  GROUP BY 1, 2),
 sig AS (
-  SELECT doc_id, list_transform(list_sort(list(struct_pack(h := h, mh := mh))), x -> x.mh) AS sig
-  FROM mh GROUP BY doc_id),
+  SELECT doc_id,
+         ${(0 until 8).map(h => s"MIN(md5('$h:' || shingle)) AS mh$h").mkString(",\n         ")}
+  FROM sh GROUP BY doc_id),
 bands AS (
-  SELECT doc_id, b, md5(sig[2 * b + 1] || sig[2 * b + 2]) AS band_key
+  SELECT doc_id, b,
+         CASE b ${(0 until 4).map(b => s"WHEN $b THEN md5(mh${2 * b} || mh${2 * b + 1})").mkString(" ")} END AS band_key
   FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
 cands AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
