@@ -222,10 +222,12 @@ object Bench {
     // The driver parses the metric line from stdout, but sbt prefixes
     // [info] to forked output (round 1: "parsed": null). Belt and braces:
     // write the JSON to a well-known repo-root file AND print it bare.
-    // A scaling-only run (BENCH_ONLY) must not clobber the full artifact's
-    // per-query timings — it gets its own file.
-    val outFile =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_SCALING.json" else "BENCH.json"
+    // Only a FULL run (queries + scaling) may write the canonical
+    // artifact; partial runs (BENCH_ONLY / NO_SCALING) repeatedly clobbered
+    // it during development — they get their own file.
+    val partial = sys.env.contains("SPARK_GRAFT_BENCH_ONLY") ||
+      sys.env.contains("SPARK_GRAFT_NO_SCALING")
+    val outFile = if (partial) "BENCH_PARTIAL.json" else "BENCH.json"
     Files.write(Paths.get(outFile), json.getBytes("UTF-8"))
     println(json)
   }

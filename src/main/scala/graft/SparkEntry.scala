@@ -133,8 +133,7 @@ object SparkEntry {
         .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
         .withColumn("pcm", pcm_decode(col("bytes"), col("codec")))
         .withColumn("pcm16k", pcm_resample(col("pcm"), col("sr_hz"), lit(16000)))
-        .withColumn("rms_x1000",
-          expr("CAST(round(1000 * sqrt(aggregate(transform(pcm16k, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v) / size(pcm16k))) AS BIGINT)"))
+        .withColumn("rms_x1000", graft.functions.AudioFunctions.rmsX1000(col("pcm16k")))
         .select(col("clip_id"), col("sr_hz"),
           size(col("pcm")).cast("bigint").as("n_src"),
           size(col("pcm16k")).cast("bigint").as("n_16k"),
@@ -233,8 +232,7 @@ object SparkEntry {
       clips(s, dir).filter(Pipeline.gate)
         .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
         .withColumn("pcm", pcm_decode(col("bytes"), col("codec")))
-        .withColumn("rms_x1000",
-          expr("CAST(round(1000 * sqrt(aggregate(transform(pcm, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v) / size(pcm))) AS BIGINT)"))
+        .withColumn("rms_x1000", graft.functions.AudioFunctions.rmsX1000(col("pcm")))
         .withColumn("peak_x1000",
           expr("CAST(round(1000 * array_max(transform(pcm, x -> abs(CAST(x AS DOUBLE))))) AS BIGINT)"))
         .select(col("clip_id"), col("sr_hz"), col("dur_ms"),

@@ -115,8 +115,11 @@ object PcmCodec {
     * interpolation at the tail. */
   def resample(pcm: Array[Float], srcHz: Int, dstHz: Int): Array[Float] = {
     if (srcHz <= 0 || dstHz <= 0) return null
+    if (srcHz == dstHz) return pcm // identity: 70% of fixture rows are 16 kHz already
     val n = pcm.length
-    val outN = (n.toLong * dstHz / srcHz).toInt
+    val outLen = n.toLong * dstHz / srcHz
+    if (outLen > Int.MaxValue) return null // would overflow an array; tolerant null
+    val outN = outLen.toInt
     val out = new Array[Float](outN)
     val step = srcHz.toDouble / dstHz
     var i = 0
@@ -263,6 +266,16 @@ object AudioFunctions {
 
   def pcm_resample(pcm: Column, srcHz: Column, dstHz: Column): Column =
     org.apache.spark.sql.functions.call_function("pcm_resample", pcm, srcHz, dstHz)
+
+  /** round(1000·rms(pcm)) as bigint — ONE definition of the fold order so
+    * every audio query stays in lockstep with the oracle-parity rule
+    * (ascending left-fold double sum, rounded once). */
+  def rmsX1000(pcm: Column): Column = {
+    import org.apache.spark.sql.functions._
+    round(lit(1000) * sqrt(
+      aggregate(transform(pcm, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, v) => a + v) / size(pcm))).cast("bigint")
+  }
 
   /** SQL registration so `spark.sql("... pcm_decode(bytes, codec) ...")`
     * works (SparkSessionExtensions-style function injection). */
