@@ -1,6 +1,7 @@
 package graft.audio
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array, lit, struct}
 import org.apache.spark.sql.types._
 
 /** A transcript rule — the graft analog of the reference's `results[]`
@@ -56,6 +57,21 @@ object Rules {
     StructField("result", StringType),
     StructField("ts_offset_s", LongType),
   ))
+
+  /** DDL of one rule element in [[arrayLit]]. */
+  val ruleStructDdl: String = "struct<rule_id:string,pattern:string,payload_json:string>"
+
+  /** The rule set as a LITERAL Catalyst array of structs. This is what lets
+    * the full pipeline evaluate per-clip matching as a pure expression —
+    * `filter(Rules.arrayLit, clip-predicate)` — with no join at all, which
+    * in turn keeps [[graft.operators.Pipeline.fullPipeline]] single-scan
+    * and map-only (the R2 pass-through needs "did ANY rule survive", and
+    * deriving that from the transformed output forces a re-scan +
+    * anti-join that cannot broadcast at 10^12 clips). */
+  def arrayLit: Column = array(all.map(r => struct(
+    lit(r.ruleId).as("rule_id"),
+    lit(r.pattern).as("pattern"),
+    lit(r.payloadJson).as("payload_json"))): _*)
 
   /** Small dimension → always broadcast-joined against the clip stream. */
   def df(spark: SparkSession): DataFrame = {

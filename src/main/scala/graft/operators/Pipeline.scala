@@ -127,7 +127,13 @@ object Pipeline {
     * struct column `r`. Event ids are content-derived (sha256) instead of
     * UUIDv4 — replay-stable exactly-once output requires deterministic ids
     * (SURVEY §7.6.2); documented divergence from reference M2. */
-  def transformed(m: DataFrame): DataFrame = {
+  /** The event column set as (name → expression) pairs, shared verbatim by
+    * [[transformed]] (the join-side frame from [[matches]]) and the
+    * single-scan [[fullPipeline]] (which wraps the non-carry columns in a
+    * pass-through guard). Expects columns `clip_id sr_hz dur_ms codec
+    * tenant_id event_id event_time rule_id` plus the decoded payload
+    * struct `r`. */
+  def eventFields: Seq[(String, Column)] = {
     val sev = col("r.severity")
     val res = col("r.result")
     val pol = col("r.policy")
@@ -137,39 +143,54 @@ object Pipeline {
     val rewritten = when(off > 0,
         col("event_time") + make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(0), off.cast("double")))
       .otherwise(col("event_time"))
-    m.select(
-      col("clip_id"), col("sr_hz"), col("dur_ms"), col("codec"),
-      col("tenant_id"), col("event_id").as("src_event_id"),
-      col("rule_id"),
-      sha2(concat_ws("|", col("clip_id"), col("rule_id")), 256).as("event_uid"),
-      lit("1.309").as("event_version"),
-      lit("COMPLIANCE").as("event_category"),
-      lit("Compliance finding event").as("event_name"),
-      lit("COMPLIANCE_FINDING").as("event_type"),
-      eventDescription(res, col("clip_id"), rul).as("event_description"),
-      lit("").as("product_name"),
-      lit("").as("product_vendor"),
-      when(col("codec") === "wav", "AUDIO_CLIP").as("smartscape_type"),
-      riskScore(sev).as("risk_score"),
-      concat(lit("uid-"), md5(col("clip_id"))).as("object_id"),
-      col("codec").as("object_type"),
-      col("r.message").as("finding_description"),
-      sha2(concat_ws("|", col("clip_id"), col("rule_id"), lit("finding")), 256).as("finding_id"),
-      when(sev.isNotNull && sev =!= "", severityUpper(sev)).as("finding_severity"),
-      when(off > 0, date_format(rewritten, "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("finding_time_created"),
+    Seq(
+      "clip_id" -> col("clip_id"),
+      "sr_hz" -> col("sr_hz"),
+      "dur_ms" -> col("dur_ms"),
+      "codec" -> col("codec"),
+      "tenant_id" -> col("tenant_id"),
+      "src_event_id" -> col("event_id"),
+      "rule_id" -> col("rule_id"),
+      "event_uid" -> sha2(concat_ws("|", col("clip_id"), col("rule_id")), 256),
+      "event_version" -> lit("1.309"),
+      "event_category" -> lit("COMPLIANCE"),
+      "event_name" -> lit("Compliance finding event"),
+      "event_type" -> lit("COMPLIANCE_FINDING"),
+      "event_description" -> eventDescription(res, col("clip_id"), rul),
+      "product_name" -> lit(""),
+      "product_vendor" -> lit(""),
+      "smartscape_type" -> when(col("codec") === "wav", "AUDIO_CLIP"),
+      "risk_score" -> riskScore(sev),
+      "object_id" -> concat(lit("uid-"), md5(col("clip_id"))),
+      "object_type" -> col("codec"),
+      "finding_description" -> col("r.message"),
+      "finding_id" -> sha2(concat_ws("|", col("clip_id"), col("rule_id"), lit("finding")), 256),
+      "finding_severity" -> when(sev.isNotNull && sev =!= "", severityUpper(sev)),
+      "finding_time_created" -> when(off > 0, date_format(rewritten, "yyyy-MM-dd'T'HH:mm:ss'Z'")),
       // title: printf("%s - %s") even when policy is empty (" - rule")
-      when(rul =!= "", concat(pol, lit(" - "), rul)).otherwise(pol).as("finding_title"),
-      when(pol =!= "", pol).as("finding_type"),
-      lit("").as("finding_url"),
-      when(rul =!= "", rul).as("compliance_control"),
-      when(pol =!= "", pol).as("compliance_requirements"),
-      when(cat =!= "", cat).as("compliance_standards"),
-      complianceStatus(res).as("compliance_status"),
-      col("r.message").as("body"),
-      eventKey(col("clip_id")).as("event_key"),
-      rewritten.as("event_time"),
-      res.as("match_status"))
+      "finding_title" -> when(rul =!= "", concat(pol, lit(" - "), rul)).otherwise(pol),
+      "finding_type" -> when(pol =!= "", pol),
+      "finding_url" -> lit(""),
+      "compliance_control" -> when(rul =!= "", rul),
+      "compliance_requirements" -> when(pol =!= "", pol),
+      "compliance_standards" -> when(cat =!= "", cat),
+      "compliance_status" -> complianceStatus(res),
+      "body" -> col("r.message"),
+      "event_key" -> eventKey(col("clip_id")),
+      "event_time" -> rewritten,
+      "match_status" -> res)
   }
+
+  /** Columns the R2 pass-through branch carries through unchanged; every
+    * other event column is null on a pass-through row. `event_time` is in
+    * the carry set because its event expression (the ts_offset rewrite)
+    * already degrades to the raw event_time when the payload struct is
+    * null. */
+  private val carryCols: Set[String] =
+    Set("clip_id", "sr_hz", "dur_ms", "codec", "tenant_id", "src_event_id", "event_time")
+
+  def transformed(m: DataFrame): DataFrame =
+    m.select(eventFields.map { case (n, c) => c.as(n) }: _*)
 
   /** matches → filter → transform, one call. */
   def events(spark: SparkSession, clips: DataFrame, allowed: Seq[String] = Nil): DataFrame = {
@@ -178,22 +199,50 @@ object Pipeline {
   }
 
   // --------------------------------------------- R2: identity pass-through
+  /** Per-rule surviving-match predicate over ONE element of
+    * [[Rules.arrayLit]]: substring match (X1) + tolerant decode (X3) +
+    * status filter (F2), folded into a single expression so "which rules
+    * survive for this clip" needs no join. */
+  private def ruleSurvives(allowed: Seq[String])(rr: Column): Column = {
+    val decoded = from_json(rr.getField("payload_json"), Rules.payloadSchema)
+    val statusOk =
+      if (allowed.isEmpty) lit(true)
+      else decoded.getField("result").isin(allowed: _*)
+    contains(col("transcript"), rr.getField("pattern")) &&
+      try_parse_json(rr.getField("payload_json")).isNotNull && statusOk
+  }
+
+  /** Surviving-rule array per clip (null when the gate fails, empty when no
+    * rule survives — either way the clip passes through). A pure expression
+    * over the literal rule set: the scale-critical property is that the
+    * matched/pass-through decision never leaves the row. */
+  def matchedRules(allowed: Seq[String]): Column =
+    when(gate, filter(Rules.arrayLit, rr => ruleSurvives(allowed)(rr)))
+
   /** Full pipeline with pass-through union (R2): clips that fail the gate,
     * match no rule, or whose matches were ALL status-filtered out pass
     * through unchanged (reference processor.go:190-209 — the easy-to-miss
-    * semantic). Implemented as a broadcast LEFT JOIN + flag instead of a
-    * left-anti against the transformed output, so the clip stream is
-    * scanned once and never shuffled. */
+    * semantic).
+    *
+    * Single-scan, map-only: each clip computes its surviving-rule array as
+    * a pure expression over the literal rule set, then one conditional
+    * explode emits either the transformed events or a single pass-through
+    * marker row — no second scan, no distinct, no anti-join, no broadcast
+    * of matched ids (the round-2 plan broadcast ALL matched clip_ids,
+    * which cannot broadcast at 10^12 clips). The executed plan is one
+    * parquet scan with zero joins and zero exchanges (PlanSpec-pinned). */
   def fullPipeline(spark: SparkSession, clips: DataFrame, allowed: Seq[String] = Nil): DataFrame = {
-    val ev = events(spark, clips, allowed)
-    val passthrough = clips
-      .join(ev.select(col("clip_id").as("matched_clip_id")).distinct(),
-        col("clip_id") === col("matched_clip_id"), "left_anti")
-      .select(
-        col("clip_id"), col("sr_hz"), col("dur_ms"), col("codec"),
-        col("tenant_id"), col("event_id").as("src_event_id"),
-        col("event_time"))
-    ev.drop("match_status").unionByName(passthrough, allowMissingColumns = true)
+    Rules.validateStatusFilter(allowed).left.foreach(e => throw new IllegalArgumentException(e))
+    val mr = matchedRules(allowed)
+    val nullRule = lit(null).cast(Rules.ruleStructDdl)
+    val exploded = clips
+      .withColumn("mrule", explode(when(size(mr) > 0, mr).otherwise(array(nullRule))))
+      .withColumn("rule_id", col("mrule.rule_id"))
+      .withColumn("r", from_json(col("mrule.payload_json"), Rules.payloadSchema))
+    val isEvent = col("mrule").isNotNull
+    exploded.select(eventFields.filterNot(_._1 == "match_status").map { case (n, c) =>
+      (if (carryCols(n)) c else when(isEvent, c)).as(n)
+    }: _*)
   }
 
   /** Processor `enabled` flag (reference internal/openreports/config.go:8-25,
@@ -205,16 +254,22 @@ object Pipeline {
 
   // ------------------------------------------------------- A1: counters
   /** Conservation-law counters (A1, reference METRICS.md:42): incoming =
-    * passthrough + expanded-parents; outgoing = events + passthrough. */
+    * passthrough + expanded-parents; outgoing = events + passthrough.
+    *
+    * Single-scan: the per-clip surviving-event count is
+    * `size(matchedRules)` — a pure expression — so the whole query is one
+    * scan + a partial/final aggregate; no join-back against the event
+    * output (the round-2 shape re-scanned the source and shuffled a
+    * per-clip count table). */
   def counters(spark: SparkSession, clips: DataFrame, allowed: Seq[String] = Nil): DataFrame = {
-    val ev = events(spark, clips, allowed)
-    val perClip = ev.groupBy(col("clip_id")).agg(count(lit(1)).as("n"))
-    clips.join(perClip, Seq("clip_id"), "left")
+    Rules.validateStatusFilter(allowed).left.foreach(e => throw new IllegalArgumentException(e))
+    val n = coalesce(size(matchedRules(allowed)), lit(0))
+    clips.select(n.as("n"))
       .agg(
         count(lit(1)).as("incoming_logs_total"),
-        sum(coalesce(col("n"), lit(0L))).as("expanded_events_total"),
-        sum(when(col("n").isNull, 1L).otherwise(0L)).as("passthrough_total"),
-        (sum(coalesce(col("n"), lit(0L))) + sum(when(col("n").isNull, 1L).otherwise(0L))).as("outgoing_logs_total"),
+        sum(col("n")).as("expanded_events_total"),
+        sum(when(col("n") === 0, 1L).otherwise(0L)).as("passthrough_total"),
+        (sum(col("n")) + sum(when(col("n") === 0, 1L).otherwise(0L))).as("outgoing_logs_total"),
         lit(0L).as("dropped_logs_total"))
   }
 }

@@ -32,6 +32,26 @@ class PlanSpec extends AnyFunSuite {
       s"scan reads more than the 3 needed columns:\n$plan")
   }
 
+  test("full pipeline (R2 union): SINGLE scan, map-only — no join, no exchange") {
+    val plan = planOf(Pipeline.fullPipeline(spark, ClipTable.clips(spark, sf)))
+    assert("parquet".r.findAllIn(plan).size >= 1 &&
+      "FileScan|BatchScan".r.findAllIn(plan).size == 1,
+      s"expected exactly one source scan:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in the pass-through union:\n$plan")
+    assert(!plan.contains("Exchange"), s"unexpected exchange in the map-only plan:\n$plan")
+  }
+
+  test("a1 counters: single scan + partial/final agg, no join, no wide exchange") {
+    val plan = planOf(Pipeline.counters(spark, ClipTable.clips(spark, sf)))
+    assert("FileScan|BatchScan".r.findAllIn(plan).size == 1,
+      s"expected exactly one source scan:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join-back in counters:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"wide exchange in a partial-aggregable counter:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"missing map-side partial aggregate:\n$plan")
+  }
+
   test("tumbling window: partial+final hash aggregation") {
     val plan = planOf(Windows.tumbling(Pipeline.events(spark, ClipTable.clips(spark, sf))))
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
