@@ -6,38 +6,53 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
 
 /** X2: polymorphic payload coercion (reference
   * internal/openreports/processor.go:126-155). The reference accepts the
-  * `results` payload as (a) a slice of strings, (b) a single string holding
-  * a JSON array, or (c) a plain string, and SKIPS ill-typed records instead
-  * of failing. In a columnar engine case (a) is a typed `array<string>`
-  * column; this operator implements the string-column branch — the 3-way
-  * runtime coercion — as pure column algebra:
+  * `results` payload as (a) a slice of strings, (b) a single string, and
+  * SKIPS ill-typed records. In a columnar engine case (a) is a typed
+  * `array<string>` column; this operator implements the string-column
+  * branch exactly as the reference's `json.Unmarshal([]byte(s), &[]string)`
+  * + fallback does:
   *
-  *   - valid JSON array  → its elements (null / ill-typed elements skipped)
-  *   - not JSON at all   → the plain string as a single-element result
-  *   - valid JSON non-array (object/number/scalar) → ill-typed ⇒ skipped
-  *     (empty result, the record contributes no rows)
+  *   - a string that strictly parses as a JSON array whose elements are all
+  *     strings or nulls → its elements, with null elements decoded as ""
+  *     (Go: unmarshaling JSON null into a string slot is a no-op on the
+  *     zero value);
+  *   - ANY other string — plain text, invalid JSON, valid JSON
+  *     object/number, or an array with non-string elements (all of which
+  *     fail Unmarshal into []string) → the whole string as a
+  *     single-element result;
+  *   - NULL (no payload) → empty (the record contributes no rows, the
+  *     reference's len==0 skip at processor.go:160-165).
+  *
+  * The strict element-type check is `schema_of_variant`: a JSON array of
+  * strings/nulls merges to ARRAY<STRING> (or ARRAY<VOID> when all-null /
+  * empty), while any non-string element yields ARRAY<BIGINT> /
+  * ARRAY<VARIANT> / ARRAY<ARRAY<...>> — mirroring Go's per-element
+  * strictness without a UDF.
   */
 object Coerce {
 
   def coerceResults(c: Column): Column = {
+    val sv = schema_of_variant(try_parse_json(c))
     val asArray = from_json(c, ArrayType(StringType))
-    // NULL input first: it is "no payload", not a plain string — without
-    // this branch `try_parse_json(NULL).isNull` routes it to array(NULL)
-    // and explode emits a phantom null-result row the oracle never has
     when(c.isNull, array().cast("array<string>"))
-      .when(asArray.isNotNull, filter(asArray, x => x.isNotNull))
-      .when(try_parse_json(c).isNull, array(c))
-      .otherwise(array().cast("array<string>"))
+      .when(sv === "ARRAY<STRING>" || sv === "ARRAY<VOID>",
+        transform(asArray, x => coalesce(x, lit(""))))
+      .otherwise(array(c))
   }
 
-  /** Deterministic polymorphic fixture + coercion over the clip table:
-    * one third JSON-array strings (with a null element to skip), one third
-    * plain strings, one third ill-typed JSON objects (skipped records).
+  /** Deterministic polymorphic fixture + coercion over the clip table,
+    * covering every runtime branch: a JSON array with a null element
+    * (decoded as ""), a plain string, a JSON object, a non-string-element
+    * array and a bare number (all three Unmarshal failures → single
+    * plain-string result), and an empty array (record skipped).
     * Output: (clip_id, pos, result) with 1-based element position. */
   def polymorphic(clips: DataFrame): DataFrame = {
-    val raw = when(col("event_id") % 3 === 0, lit("""["fail", null, "pass"]"""))
-      .when(col("event_id") % 3 === 1, lit("plain-result"))
-      .otherwise(lit("""{"not": "an array"}"""))
+    val raw = when(col("event_id") % 6 === 0, lit("""["fail", null, "pass"]"""))
+      .when(col("event_id") % 6 === 1, lit("plain-result"))
+      .when(col("event_id") % 6 === 2, lit("""{"not": "an array"}"""))
+      .when(col("event_id") % 6 === 3, lit("""[1, 2]"""))
+      .when(col("event_id") % 6 === 4, lit("123"))
+      .otherwise(lit("[]"))
     clips.select(col("clip_id"), raw.as("results_raw"))
       .select(col("clip_id"), posexplode(coerceResults(col("results_raw"))).as(Seq("p", "result")))
       .select(col("clip_id"), (col("p") + 1).cast("bigint").as("pos"), col("result"))
@@ -52,13 +67,17 @@ FROM (
   FROM (
     SELECT clip_id,
       CASE WHEN json_valid(raw) AND json_type(raw) = 'ARRAY'
-             THEN list_filter(json_transform(raw, '["VARCHAR"]'), x -> x IS NOT NULL)
-           WHEN NOT json_valid(raw) THEN [raw]
-           ELSE [] END AS coerced
+                AND len(list_filter(json_transform(raw, '["JSON"]'),
+                      x -> json_type(x) NOT IN ('VARCHAR'))) = 0
+             THEN list_transform(json_transform(raw, '["VARCHAR"]'), x -> COALESCE(x, ''))
+           ELSE [raw] END AS coerced
     FROM (
       SELECT clip_id,
-        CASE WHEN event_id % 3 = 0 THEN '["fail", null, "pass"]'
-             WHEN event_id % 3 = 1 THEN 'plain-result'
-             ELSE '{"not": "an array"}' END AS raw
+        CASE WHEN event_id % 6 = 0 THEN '["fail", null, "pass"]'
+             WHEN event_id % 6 = 1 THEN 'plain-result'
+             WHEN event_id % 6 = 2 THEN '{"not": "an array"}'
+             WHEN event_id % 6 = 3 THEN '[1, 2]'
+             WHEN event_id % 6 = 4 THEN '123'
+             ELSE '[]' END AS raw
       FROM clips) r0) r1) r2"""
 }

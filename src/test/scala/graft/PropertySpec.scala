@@ -75,19 +75,24 @@ class PropertySpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val tokenGen = Gen.oneOf("fail", "pass", "a b", "x\"y", "")
-    // (raw string, expected coercion) pairs covering all three branches
+    // (raw string, expected coercion) pairs covering every reference branch
+    // (processor.go:137-151: Unmarshal into []string, fallback = the whole
+    // string as a single result; JSON null elements decode as "")
     val caseGen: Gen[(String, Seq[String])] = Gen.frequency(
       4 -> Gen.listOf(tokenGen).map { ts =>
         val raw = ts.map(t => "\"" + t.replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
         (raw, ts) // valid JSON array → its string elements, in order
       },
       1 -> Gen.listOf(tokenGen).map { ts =>
-        // null elements inside the array are skipped
+        // null elements inside the array decode as "" (Go zero value)
         val raw = ts.map(t => "\"" + t.replace("\"", "\\\"") + "\"").mkString("[", ",null,", "]")
-        (raw, ts)
+        val expected = if (ts.isEmpty) ts else ts.flatMap(t => Seq(t, "")).dropRight(1)
+        (raw, expected)
       },
       3 -> Gen.alphaStr.map(s => (s + "-plain", Seq(s + "-plain"))), // never valid JSON
-      2 -> Gen.const(("""{"an":"object"}""", Seq.empty[String])),    // ill-typed → skip
+      // Unmarshal-into-[]string failures → the whole string, verbatim:
+      2 -> Gen.const(("""{"an":"object"}""", Seq("""{"an":"object"}"""))),
+      1 -> Gen.const(("[1,2]", Seq("[1,2]"))),                       // non-string elements
       1 -> Gen.const(("[\"broken", Seq("[\"broken"))))               // invalid JSON → plain
     samples(Gen.listOfN(30, caseGen), 4).foreach { cases =>
       val df = cases.zipWithIndex.map { case ((r, _), i) => (i.toLong, r) }.toDF("event_id", "raw")
