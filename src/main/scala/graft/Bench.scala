@@ -146,6 +146,7 @@ object Bench {
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        finally graft.operators.Dedup.releaseCaches()
         name -> (System.nanoTime() - t0) / 1e9
       }
     val total = results.map(_._2).sum
@@ -187,26 +188,40 @@ object Bench {
         val t8 = scala.collection.mutable.ArrayBuffer[Double]()
         val t2 = scala.collection.mutable.ArrayBuffer[Double]()
         val loads = scala.collection.mutable.ArrayBuffer[Double]()
-        // local[2] runs FIRST, straight after warmup: the slot least
-        // contaminated by our own trailing load average — inflating the
-        // narrow denominator is the CONSERVATIVE direction for the N→4N
-        // efficiency numbers.
+        // local[2] runs FIRST, straight after warmup (the slot least
+        // contaminated by our own trailing load average), and is then
+        // INTERLEAVED with the wider trials like the others: round 2's
+        // canonical artifact carried a 3.2 "efficiency" from a single
+        // neighbor-contaminated local[2] sample — every config now gets
+        // multiple samples and a median.
         t2 += runPipeline(2, inputDir, nClips, mode, mfpt)
-        for (_ <- 1 to trials) {
+        for (i <- 1 to trials) {
           loads += loadAvg
           t32 += runPipeline(32, inputDir, nClips, mode, mfpt)
           t8 += runPipeline(8, inputDir, nClips, mode, mfpt)
+          if (i <= math.max(1, math.min(trials, 2)))
+            t2 += runPipeline(2, inputDir, nClips, mode, mfpt)
         }
         def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+        // Outlier floor: a sample >3× off the run's own median is neighbor
+        // contamination, not the engine — drop it before the median so one
+        // bad trial cannot fabricate a >1 (or near-0) efficiency in the
+        // canonical artifact. Falls back to the raw set if it would empty.
+        def sane(xs: Seq[Double]): Seq[Double] = {
+          val m = med(xs)
+          val kept = xs.filter(v => v > 0.0 && v * 3.0 >= m && v <= m * 3.0)
+          if (kept.isEmpty) xs else kept
+        }
         // a 0.0 sample (no-progress fallback) must not poison the JSON
         // with Infinity/NaN — that re-creates the round-1 "parsed": null
         def ratio(num: Double, den: Double): Double =
           if (den > 0.0) (num / den) / 4.0 else 0.0
-        val thr32 = med(t32.toSeq); val thr8 = med(t8.toSeq); val thr2 = t2.max
+        val thr32 = med(sane(t32.toSeq)); val thr8 = med(sane(t8.toSeq))
+        val thr2 = med(sane(t2.toSeq))
         val eff832 = ratio(thr32, thr8)
         val eff28 = ratio(thr8, thr2)
         val eff832best = ratio(t32.max, t8.max)
-        val eff28best = ratio(t8.max, thr2)
+        val eff28best = ratio(t8.max, t2.max)
         val loadAfter = loadAvg
         // free the tmpfs space for the next round
         import scala.sys.process._

@@ -41,8 +41,17 @@ object IntervalJoin {
     * single bucket matches at most one of an activation's three, so no
     * dedup is needed) and the exact |Δt| predicate verifies. Candidates
     * drop from "all activations of the rule" to "activations within ±1
-    * bucket" — the interval-join analog of LSH banding. */
-  def join(events: DataFrame, acts: DataFrame): DataFrame = {
+    * bucket" — the interval-join analog of LSH banding.
+    *
+    * The broadcast hint is SIZE-GATED, not hard-pinned: the activation side
+    * is ~1% of events — kilobytes at bench scale but ~10^10 rows at 10^12
+    * events, where a forced broadcast OOMs the driver. Below
+    * `maxBroadcastBytes` (default: the session's
+    * autoBroadcastJoinThreshold) we hint; above it the bucketed
+    * (rule_id, _tb) equi-key makes the un-hinted shuffle hash join
+    * scale-safe, and AQE can still pick a runtime broadcast. */
+  def join(events: DataFrame, acts: DataFrame,
+           maxBroadcastBytes: Option[Long] = None): DataFrame = {
     def us(c: String) = unix_micros(col(c).cast("timestamp_ltz"))
     val w = WithinS * 1000000L
     // integer DIV, not double '/': a double quotient 1 ulp under an integer
@@ -54,7 +63,12 @@ object IntervalJoin {
       .withColumn("_ab", bucket("active_from"))
       .withColumn("_tb", explode(array(col("_ab") - 1, col("_ab"), col("_ab") + 1)))
       .drop("_ab")
-    e.join(broadcast(a), Seq("rule_id", "_tb"))
+    val threshold = maxBroadcastBytes.getOrElse(
+      events.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
+    // ×3 for the bucket explode of the activation side
+    val estBytes = acts.queryExecution.optimizedPlan.stats.sizeInBytes * 3
+    val aSide = if (threshold >= 0 && estBytes <= threshold) broadcast(a) else a
+    e.join(aSide, Seq("rule_id", "_tb"))
       .filter(abs(us("event_time") - us("active_from")) <= w)
       .select(col("rule_id"), col("clip_id"), col("act_id"),
         us("event_time").as("ev_us"),

@@ -67,6 +67,35 @@ class PlanSpec extends AnyFunSuite {
       s"no pushed filters on the activation scan:\n$plan")
   }
 
+  test("interval join un-hinted: bucketed-key hash join, never a nested loop") {
+    // Force the over-threshold path (maxBroadcastBytes = 0): the plan must
+    // fall back to an equi-join on (rule_id, _tb) — a shuffle/sort-merge
+    // hash join — never a nested-loop over the raw 4-value rule_id key.
+    val df = IntervalJoin.join(
+      Pipeline.events(spark, ClipTable.clips(spark, sf)),
+      IntervalJoin.activations(spark, sf), maxBroadcastBytes = Some(0L))
+    val plan = planOf(df)
+    // the events pipeline legitimately contains the 8-row rule BNLJ; the
+    // INTERVAL join (the one touching active_from) must never be one
+    val nestedLoop = plan.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(!nestedLoop.exists(_.contains("active_from")),
+      s"un-hinted interval join degraded to an all-pairs plan:\n$plan")
+    // and it must be an equi-join keyed on the (rule_id, _tb) bucket —
+    // planner-chosen broadcast at this scale is fine (that is the point:
+    // the decision follows stats instead of a hard pin)
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[rule_id[^\\]]*_tb".r
+      .findFirstIn(plan).isDefined,
+      s"expected an equi-join on the bucketed key:\n$plan")
+    // identical rows both ways (hinted broadcast vs shuffle join)
+    val hinted = IntervalJoin.join(
+      Pipeline.events(spark, ClipTable.clips(spark, sf)),
+      IntervalJoin.activations(spark, sf))
+    val a = df.collect().map(_.toSeq).toSet
+    val b = hinted.collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b, "hinted and un-hinted interval joins diverge")
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val rows = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -129,6 +158,82 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(graft.operators.Dedup.simhashPairs(docs))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"simhash pair join degraded to an all-pairs plan:\n$plan")
+  }
+
+  test("dedup queries leave no pinned relations after releaseCaches") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.operators.Dedup.minhashLsh(docs).count()
+    graft.operators.Dedup.ngramJaccard(docs).count()
+    graft.operators.Dedup.releaseCaches()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedup shingle relations still pinned after releaseCaches")
+  }
+
+  test("ngramJaccard DF cap: retained pairs keep exact uncapped scores") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("jac_x1000"))).toMap
+    val full = toMap(graft.operators.Dedup.ngramJaccard(docs))
+    val capped = toMap(graft.operators.Dedup.ngramJaccard(docs, maxShingleDf = Some(5L)))
+    graft.operators.Dedup.releaseCaches()
+    assert(capped.nonEmpty, "DF cap of 5 removed every candidate pair")
+    capped.foreach { case (pair, scored) =>
+      assert(full.get(pair).contains(scored),
+        s"capped pair $pair scored $scored but uncapped says ${full.get(pair)}")
+    }
+    assert(capped.size <= full.size)
+  }
+
+  test("cosine near-dup: bucketed equi-join plan, results ⊆ exact all-pairs") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val lsh = graft.operators.Similarity.cosineNearDup(emb)
+    val plan = planOf(lsh)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"near-dup candidates degraded to an all-pairs plan:\n$plan")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) -> r.getAs[Long]("cos_x10000")).toMap
+    val approx = toMap(lsh)
+    val exact = toMap(graft.operators.Similarity.cosineNearDupAllPairs(emb))
+    assert(approx.nonEmpty)
+    approx.foreach { case (pair, score) =>
+      assert(exact.get(pair).contains(score),
+        s"bucketed pair $pair score $score disagrees with exact ${exact.get(pair)}")
+    }
+    info(f"near-dup recall vs exact: ${approx.size.toDouble / exact.size}%.2f (${approx.size}/${exact.size})")
+  }
+
+  test("IVF quantizer bits scale: more cells, co-bucketed results at bits=6") {
+    import org.apache.spark.sql.functions.countDistinct
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def cells(bits: Int) = graft.operators.Similarity.buckets(emb, bits)
+      .agg(countDistinct("bucket")).collect()(0).getLong(0)
+    assert(cells(6) > cells(4), "raising bits must raise occupied cell count")
+    val b6 = graft.operators.Similarity.buckets(emb, 6).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(b6.values.forall(b => b >= 0 && b < 64))
+    graft.operators.Similarity.ivfTopNeighbor(emb, bits = 6).collect().foreach { r =>
+      assert(b6(r.getAs[Long]("vec_id")) == b6(r.getAs[Long]("n_id")),
+        "ivfTopNeighbor(bits=6) returned a cross-bucket pair")
+    }
+  }
+
+  test("packSequences nShards=64: same packing law, scaled reducer count") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.TextOps.packSequences(docs, nShards = 64L).collect()
+    assert(out.map(_.getAs[Long]("shard")).distinct.length > 16,
+      "64-shard packing still collapses to ≤16 reducers")
+    assert(out.forall(r => r.getAs[Long]("shard") >= 0 && r.getAs[Long]("shard") < 64))
+    // recompute the running-sum law per shard in plain Scala
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("pack_id") == cum / 4096L &&
+          r.getAs[Long]("pack_offset") == cum % 4096L,
+          s"pack coordinates diverge from the running sum at doc ${r.getAs[Long]("doc_id")}")
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
   }
 
   test("minhash LSH verify is candidate-restricted (no co-shingled self-join)") {
