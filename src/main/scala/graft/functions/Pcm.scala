@@ -159,6 +159,14 @@ case class PcmSynth(children: Seq[Expression])
     extends Expression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] =
     Seq(DoubleType, IntegerType, IntegerType, StringType)
+  // ExpectsInputTypes zips children with inputTypes, silently truncating on
+  // arity mismatch — a 3-arg pcm_synth(...) would pass analysis and die at
+  // runtime with IndexOutOfBounds. Fail analysis instead.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.size != 4)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pcm_synth requires 4 arguments (freq_hz, sr_hz, dur_ms, codec), got ${children.size}")
+    else super.checkInputDataTypes()
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def eval(input: InternalRow): Any = {

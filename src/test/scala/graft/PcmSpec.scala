@@ -94,6 +94,15 @@ class PcmSpec extends AnyFunSuite {
     assert(n == 4000)
   }
 
+  test("pcm_synth wrong arity is an analysis error, not a runtime crash") {
+    AudioFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT pcm_synth(220.0, 16000, 250)").collect()
+    }
+    assert(e.getMessage.contains("4 arguments"),
+      s"expected the arity TypeCheckFailure, got: ${e.getMessage}")
+  }
+
   test("distributed SNR check over many synthesized clips") {
     val s = spark
     import s.implicits._

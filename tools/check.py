@@ -71,7 +71,13 @@ for name in sorted(oracle):
     kinds_mismatch = [c for c in gdf.columns
                       if gdf[c].dtype.kind != edf[c].dtype.kind]
     if kinds_mismatch:
-        print(f"WARN {name}: dtype-kind mismatch on {[(c, str(gdf[c].dtype), str(edf[c].dtype)) for c in kinds_mismatch]}")
+        # FAIL, not WARN: pandas renders both SQL NULL and NaN as NaN in
+        # float64 columns, and nullable int64 upcasts to float64 on .df() —
+        # a dtype-kind divergence can mask an int-vs-float or NULL-vs-NaN
+        # difference while the value hashes still agree.
+        print(f"FAIL {name}: dtype-kind mismatch on {[(c, str(gdf[c].dtype), str(edf[c].dtype)) for c in kinds_mismatch]}")
+        fails += 1
+        continue
     gl, el = df_lines(gdf), df_lines(edf)
     if table_hash(gl) != table_hash(el):
         print(f"FAIL {name}: hash mismatch ({len(gdf)} rows)")
