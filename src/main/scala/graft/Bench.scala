@@ -29,6 +29,9 @@ object Bench {
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // MICROS over deprecated INT96: INT96 footers carry no usable
+      // min/max, which disables GraftTable manifest stats / file pruning
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
     // RocksDB state store for the stateful (cep) mode: state off-heap on
     // local disk with incremental snapshots — the >heap-state configuration

@@ -63,6 +63,9 @@ object Main {
     val builder0 = SparkSession.builder()
       .appName("graft-streaming-cep")
       .config("spark.sql.session.timeZone", "UTC")
+      // MICROS over deprecated INT96: INT96 footers carry no usable
+      // min/max, which disables GraftTable manifest stats / file pruning
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
     // At 10^12-clip scale CEP/join state outgrows executor heaps — RocksDB

@@ -12,10 +12,12 @@ import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnot
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,15 +30,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **Per-batch file lists come from manifests**: a micro-batch for
   *    (start, end] reads exactly the files of manifests start+1..end.
   *    Uncommitted junk under data/ is structurally invisible.
-  *  - **Admission control** (`maxFilesPerTrigger`) via
-  *    [[SupportsAdmissionControl]]: versions are admitted greedily until the
-  *    file budget is exhausted (always ≥ 1 version so the stream advances).
-  *  - Nothing is copied or linked at commit time, and the directory-growth /
-  *    same-filesystem constraints of the hardlink scheme are gone.
+  *  - **Admission control** via [[SupportsAdmissionControl]]:
+  *    `maxFilesPerTrigger` (file count) and `maxBytesPerTrigger` (the
+  *    reference memory_limiter analog, ocb/config.yaml:29-31 — files vary
+  *    ~100× in size after compaction, so a byte ceiling is what actually
+  *    bounds per-trigger memory). Versions are admitted greedily until a
+  *    budget is exhausted (always ≥ 1 version so the stream advances).
+  *  - **File pruning** via [[SupportsPushDownFilters]]: comparison filters
+  *    on stats-covered columns skip whole files using the manifests'
+  *    per-file min/max — a `WHERE event_time > X` over a 100 TB table
+  *    plans only the overlapping files. Pruning is conservative
+  *    (file-level); every filter is still evaluated on rows by Spark.
   *
   * Reference analog: the change-stream source the reference consumes
   * (henrikrexed/securitylogeventprocessor ocb/config.yaml:10-22, the
-  * k8sobjects watch stream); re-expressed as Spark's V2 streaming contract.
+  * k8sobjects watch stream — which delivers only matching objects, the
+  * pruning analog); re-expressed as Spark's V2 connector contract.
   *
   * Usage: `spark.readStream.format(classOf[GraftSourceProvider].getName)
   *   .option("maxFilesPerTrigger", 32).load(tableRoot)` — or simply
@@ -64,6 +73,89 @@ class GraftSourceProvider extends TableProvider {
     new GraftV2Table(properties.get("path"), schema)
 }
 
+/** Stats-vs-filter overlap test: can a file whose column ranges are `stats`
+  * contain a row satisfying the filter? Conservative in every unsupported
+  * direction (missing stats, unknown filter/value type ⇒ keep the file). */
+object FilePrune {
+
+  /** Filters usable for file-level pruning (reported as pushed). */
+  def prunable(f: Filter): Boolean = f match {
+    case And(l, r) => prunable(l) || prunable(r)
+    case Or(l, r) => prunable(l) && prunable(r)
+    case EqualTo(_, v) => supportedValue(v)
+    case GreaterThan(_, v) => supportedValue(v)
+    case GreaterThanOrEqual(_, v) => supportedValue(v)
+    case LessThan(_, v) => supportedValue(v)
+    case LessThanOrEqual(_, v) => supportedValue(v)
+    case In(_, vs) => vs != null && vs.nonEmpty && vs.forall(supportedValue)
+    case _ => false
+  }
+
+  private def supportedValue(v: Any): Boolean = v match {
+    case null => false
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float |
+         _: String | _: java.sql.Timestamp | _: java.time.Instant |
+         _: java.time.LocalDateTime | _: java.sql.Date | _: java.time.LocalDate => true
+    case _ => false
+  }
+
+  /** sign of (statValue - filterValue) in the stat's comparison domain;
+    * None ⇒ incomparable ⇒ caller must keep the file. */
+  private def cmp(typ: String, stat: String, v: Any): Option[Int] = try {
+    typ match {
+      case "long" =>
+        val s = stat.toLong
+        v match {
+          case n: java.lang.Long => Some(java.lang.Long.compare(s, n))
+          case n: java.lang.Integer => Some(java.lang.Long.compare(s, n.longValue))
+          case n: java.lang.Short => Some(java.lang.Long.compare(s, n.longValue))
+          case n: java.lang.Byte => Some(java.lang.Long.compare(s, n.longValue))
+          case n: java.lang.Double => Some(java.lang.Double.compare(s.toDouble, n))
+          case n: java.lang.Float => Some(java.lang.Double.compare(s.toDouble, n.doubleValue))
+          // timestamp columns carry epoch-micros int64 stats
+          case t: java.sql.Timestamp =>
+            Some(java.lang.Long.compare(s, t.getTime * 1000L + (t.getNanos / 1000) % 1000))
+          case t: java.time.Instant =>
+            Some(java.lang.Long.compare(s, t.getEpochSecond * 1000000L + t.getNano / 1000))
+          case t: java.time.LocalDateTime =>
+            val i = t.toInstant(java.time.ZoneOffset.UTC)
+            Some(java.lang.Long.compare(s, i.getEpochSecond * 1000000L + i.getNano / 1000))
+          // date columns carry epoch-day int32 stats
+          case d: java.sql.Date => Some(java.lang.Long.compare(s, d.toLocalDate.toEpochDay))
+          case d: java.time.LocalDate => Some(java.lang.Long.compare(s, d.toEpochDay))
+          case _ => None
+        }
+      case "double" => v match {
+        case n: java.lang.Number => Some(java.lang.Double.compare(stat.toDouble, n.doubleValue))
+        case _ => None
+      }
+      case "string" => v match {
+        case str: String => Some(stat.compareTo(str))
+        case _ => None
+      }
+      case _ => None
+    }
+  } catch { case _: NumberFormatException => None }
+
+  def mightMatch(stats: Map[String, ColStats], f: Filter): Boolean = f match {
+    case And(l, r) => mightMatch(stats, l) && mightMatch(stats, r)
+    case Or(l, r) => mightMatch(stats, l) || mightMatch(stats, r)
+    case EqualTo(c, v) => stats.get(c).forall(s =>
+      cmp(s.typ, s.min, v).forall(_ <= 0) && cmp(s.typ, s.max, v).forall(_ >= 0))
+    case GreaterThan(c, v) => stats.get(c).forall(s => cmp(s.typ, s.max, v).forall(_ > 0))
+    case GreaterThanOrEqual(c, v) => stats.get(c).forall(s => cmp(s.typ, s.max, v).forall(_ >= 0))
+    case LessThan(c, v) => stats.get(c).forall(s => cmp(s.typ, s.min, v).forall(_ < 0))
+    case LessThanOrEqual(c, v) => stats.get(c).forall(s => cmp(s.typ, s.min, v).forall(_ <= 0))
+    case In(c, vs) =>
+      vs == null || vs.isEmpty || vs.exists(v => mightMatch(stats, EqualTo(c, v)))
+    case _ => true
+  }
+
+  def keep(fi: FileInfo, filters: Seq[Filter]): Boolean =
+    filters.forall(f => mightMatch(fi.stats, f))
+}
+
 final class GraftV2Table(root: String, tableSchema: StructType)
     extends Table with SupportsRead {
   override def name(): String = s"graft-table($root)"
@@ -71,24 +163,39 @@ final class GraftV2Table(root: String, tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownFilters {
+      private var pushed: Array[Filter] = Array.empty
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(FilePrune.prunable)
+        // file-level stats pruning is never exact: EVERY filter must still
+        // be evaluated on rows post-scan
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
       override def build(): Scan = new GraftScan(root, tableSchema,
-        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+        Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+        pushed.toSeq)
     }
 }
 
-final class GraftScan(root: String, schema: StructType, maxFilesPerTrigger: Option[Int])
+final class GraftScan(root: String, schema: StructType,
+                      maxFilesPerTrigger: Option[Int],
+                      maxBytesPerTrigger: Option[Long],
+                      filters: Seq[Filter])
     extends Scan {
   override def readSchema(): StructType = schema
-  override def description(): String = s"graft-table scan of $root"
+  override def description(): String =
+    s"graft-table scan of $root, PushedFilters: [${filters.mkString(", ")}]"
 
   override def toBatch: Batch = new Batch {
     private val table = new GraftTable(root)
     override def planInputPartitions(): Array[InputPartition] = {
       val v = table.version
       table.manifestsUpTo(v)
-        .flatMap(table.manifestFileRows)
-        .map { case (path, rows) => GraftInputPartition(path, rows) }
+        .flatMap(table.manifestFiles)
+        .filter(FilePrune.keep(_, filters))
+        .map(fi => GraftInputPartition(fi.path, fi.rows))
         .toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -96,7 +203,7 @@ final class GraftScan(root: String, schema: StructType, maxFilesPerTrigger: Opti
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(root, schema, maxFilesPerTrigger)
+    new GraftMicroBatchStream(root, schema, maxFilesPerTrigger, maxBytesPerTrigger, filters)
 }
 
 /** Offset = snapshot version (the number of committed micro-batches). */
@@ -105,7 +212,9 @@ case class GraftOffset(version: Long) extends Offset {
 }
 
 final class GraftMicroBatchStream(root: String, schema: StructType,
-                                  maxFilesPerTrigger: Option[Int])
+                                  maxFilesPerTrigger: Option[Int],
+                                  maxBytesPerTrigger: Option[Long] = None,
+                                  filters: Seq[Filter] = Nil)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val table = new GraftTable(root)
@@ -115,8 +224,15 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
   override def latestOffset(): Offset = GraftOffset(table.version)
   override def reportLatestOffset(): Offset = GraftOffset(table.version)
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val lims = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    lims match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   /** Manifests that version k contributes to a reader whose stream started
     * at `from`, under compaction (REWRITE manifests, GraftTable.compact):
@@ -150,26 +266,45 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
         } else added.filterNot(m => table.manifestRewriteInfo(m)._1)
     }
 
-  /** Admit whole snapshot versions until the file budget is spent (at
-    * least one version per trigger so the stream always advances). */
+  /** The files version k would contribute, post-pruning (admission budgets
+    * count work actually read, consistent with planInputPartitions). */
+  private def versionFiles(k: Long, from: Long, chain: Set[String],
+                           firstLive: Long): Seq[FileInfo] =
+    readableManifests(k, from, chain, firstLive)
+      .flatMap(table.manifestFiles)
+      .filter(FilePrune.keep(_, filters))
+
+  /** Admit whole snapshot versions until a file or byte budget is spent
+    * (at least one version per trigger so the stream always advances). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = table.version
     val from = start.asInstanceOf[GraftOffset].version
-    limit match {
-      case mf: ReadMaxFiles if cur > from =>
-        val chain = table.manifestsUpTo(cur).toSet
-        val firstLive = firstLiveVersion(from, cur)
-        var v = from
-        var files = 0
-        var stop = false
-        while (!stop && v < cur) {
-          val nFiles = readableManifests(v + 1, from, chain, firstLive)
-            .map(table.manifestFileRows(_).size).sum
-          if (files > 0 && files + nFiles > mf.maxFiles()) stop = true
-          else { files += nFiles; v += 1 }
-        }
-        GraftOffset(v)
-      case _ => GraftOffset(cur)
+    val lims = limit match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq
+      case l => Seq(l)
+    }
+    val maxF = lims.collectFirst { case f: ReadMaxFiles => f.maxFiles() }
+    val maxB = lims.collectFirst { case b: ReadMaxBytes => b.maxBytes() }
+    if ((maxF.isEmpty && maxB.isEmpty) || cur <= from) GraftOffset(cur)
+    else {
+      val chain = table.manifestsUpTo(cur).toSet
+      val firstLive = firstLiveVersion(from, cur)
+      var v = from
+      var files = 0
+      var bytes = 0L
+      var stop = false
+      while (!stop && v < cur) {
+        val fs = versionFiles(v + 1, from, chain, firstLive)
+        val nFiles = fs.size
+        val nBytes = fs.map(_.bytes).sum
+        val overF = maxF.exists(m => files + nFiles > m)
+        val overB = maxB.exists(m => bytes + nBytes > m)
+        // v > from: the first version is always admitted even if it alone
+        // overflows a budget (the stream must advance)
+        if (v > from && (overF || overB)) stop = true
+        else { files += nFiles; bytes += nBytes; v += 1 }
+      }
+      GraftOffset(v)
     }
   }
 
@@ -179,9 +314,8 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
     val chain = table.manifestsUpTo(to).toSet
     val firstLive = firstLiveVersion(from, to)
     (from + 1 to to)
-      .flatMap(readableManifests(_, from, chain, firstLive))
-      .flatMap(table.manifestFileRows)
-      .map { case (path, rows) => GraftInputPartition(path, rows) }
+      .flatMap(versionFiles(_, from, chain, firstLive))
+      .map(fi => GraftInputPartition(fi.path, fi.rows))
       .toArray
   }
 
@@ -200,8 +334,11 @@ final class GraftReaderFactory(schema: StructType) extends PartitionReaderFactor
 }
 
 /** Reads one manifest-listed parquet file into InternalRows via the public
-  * parquet-mr Group API (primitive columns: string/long/int/double/float/
-  * boolean/binary/date/timestamp — the sink's event schema domain). */
+  * parquet-mr Group API. Supports primitive columns (string/long/int/
+  * double/float/boolean/binary/date/timestamp) plus Spark-written nested
+  * columns: array<...>, map<...,...>, struct<...> — recursively (the E3
+  * typed-attr bag is array<struct<...>>), so any event schema the sink can
+  * write round-trips through the table's own change stream. */
 final class GraftPartitionReader(path: String, schema: StructType)
     extends PartitionReader[InternalRow] {
 
@@ -224,42 +361,108 @@ final class GraftPartitionReader(path: String, schema: StructType)
     (julianDay - JULIAN_EPOCH_DAY) * 86400L * 1000000L + nanosOfDay / 1000L
   }
 
+  /** (group, fieldIdx, repetitionIdx) → Catalyst value, for one PRIMITIVE
+    * parquet field. */
+  private def primGetter(prim: PrimitiveType, dt: DataType, name: String): (Group, Int, Int) => Any =
+    dt match {
+      case StringType => (g, i, r) => UTF8String.fromBytes(g.getBinary(i, r).getBytes)
+      case LongType => (g, i, r) => g.getLong(i, r)
+      case IntegerType => (g, i, r) => g.getInteger(i, r)
+      case DoubleType => (g, i, r) => g.getDouble(i, r)
+      case FloatType => (g, i, r) => g.getFloat(i, r)
+      case BooleanType => (g, i, r) => g.getBoolean(i, r)
+      case BinaryType => (g, i, r) => g.getBinary(i, r).getBytes
+      case DateType => (g, i, r) => g.getInteger(i, r)
+      case TimestampType | TimestampNTZType =>
+        if (prim.getPrimitiveTypeName == PrimitiveType.PrimitiveTypeName.INT96)
+          (g, i, r) => int96ToMicros(g.getInt96(i, r).getBytes)
+        else {
+          val unit = prim.getLogicalTypeAnnotation match {
+            case t: TimestampLogicalTypeAnnotation => t.getUnit
+            case _ => LogicalTypeAnnotation.TimeUnit.MICROS
+          }
+          unit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => (g, i, r) => g.getLong(i, r) * 1000L
+            case LogicalTypeAnnotation.TimeUnit.NANOS => (g, i, r) => g.getLong(i, r) / 1000L
+            case _ => (g, i, r) => g.getLong(i, r)
+          }
+        }
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-table source: field $name has unsupported type $other")
+    }
+
+  /** Recursive converter for any supported Spark type against the matching
+    * parquet file type. Spark writes LIST as
+    * `group (LIST) { repeated group list { <element> } }` and MAP as
+    * `group (MAP) { repeated group key_value { key; value } }`. */
+  private def valueGetter(pt: org.apache.parquet.schema.Type, dt: DataType,
+                          name: String): (Group, Int, Int) => Any = dt match {
+    case ArrayType(et, _) =>
+      val repeated = pt.asGroupType().getType(0).asGroupType()
+      val elemGet = valueGetter(repeated.getType(0), et, s"$name.element")
+      (g, i, r) => {
+        val lg = g.getGroup(i, r)
+        val n = lg.getFieldRepetitionCount(0)
+        val arr = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val holder = lg.getGroup(0, j)
+          arr(j) = if (holder.getFieldRepetitionCount(0) == 0) null else elemGet(holder, 0, 0)
+          j += 1
+        }
+        new GenericArrayData(arr)
+      }
+    case MapType(kt, vt, _) =>
+      val kv = pt.asGroupType().getType(0).asGroupType()
+      val kGet = valueGetter(kv.getType(0), kt, s"$name.key")
+      val vGet = valueGetter(kv.getType(1), vt, s"$name.value")
+      (g, i, r) => {
+        val mg = g.getGroup(i, r)
+        val n = mg.getFieldRepetitionCount(0)
+        val ks = new Array[Any](n)
+        val vs = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val kvg = mg.getGroup(0, j)
+          ks(j) = kGet(kvg, 0, 0)
+          vs(j) = if (kvg.getFieldRepetitionCount(1) == 0) null else vGet(kvg, 1, 0)
+          j += 1
+        }
+        new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
+      }
+    case st: StructType =>
+      val gt = pt.asGroupType()
+      val fieldGets: Array[Option[(Int, (Group, Int, Int) => Any)]] = st.fields.map { f =>
+        if (!gt.containsField(f.name)) None
+        else {
+          val fi = gt.getFieldIndex(f.name)
+          Some((fi, valueGetter(gt.getType(fi), f.dataType, s"$name.${f.name}")))
+        }
+      }
+      (g, i, r) => {
+        val sg = g.getGroup(i, r)
+        val vals = new Array[Any](fieldGets.length)
+        var j = 0
+        while (j < fieldGets.length) {
+          vals(j) = fieldGets(j) match {
+            case Some((fi, get)) if sg.getFieldRepetitionCount(fi) > 0 => get(sg, fi, 0)
+            case _ => null
+          }
+          j += 1
+        }
+        new GenericInternalRow(vals)
+      }
+    case _ => primGetter(pt.asPrimitiveType(), dt, name)
+  }
+
   private def buildConverters(fileType: GroupType): Array[Group => Any] =
     schema.fields.map { f =>
       if (!fileType.containsField(f.name)) { (_: Group) => null }
       else {
         val idx = fileType.getFieldIndex(f.name)
-        val pt = fileType.getType(idx)
-        val prim = if (pt.isPrimitive) pt.asPrimitiveType() else null
-        val get: Group => Any = f.dataType match {
-          case StringType => g => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-          case LongType => g => g.getLong(idx, 0)
-          case IntegerType => g => g.getInteger(idx, 0)
-          case DoubleType => g => g.getDouble(idx, 0)
-          case FloatType => g => g.getFloat(idx, 0)
-          case BooleanType => g => g.getBoolean(idx, 0)
-          case BinaryType => g => g.getBinary(idx, 0).getBytes
-          case DateType => g => g.getInteger(idx, 0)
-          case TimestampType | TimestampNTZType =>
-            require(prim != null, s"nested parquet type for timestamp field ${f.name}")
-            if (prim.getPrimitiveTypeName == PrimitiveType.PrimitiveTypeName.INT96)
-              g => int96ToMicros(g.getInt96(idx, 0).getBytes)
-            else {
-              val unit = prim.getLogicalTypeAnnotation match {
-                case t: TimestampLogicalTypeAnnotation => t.getUnit
-                case _ => LogicalTypeAnnotation.TimeUnit.MICROS
-              }
-              unit match {
-                case LogicalTypeAnnotation.TimeUnit.MILLIS => g => g.getLong(idx, 0) * 1000L
-                case LogicalTypeAnnotation.TimeUnit.NANOS => g => g.getLong(idx, 0) / 1000L
-                case _ => g => g.getLong(idx, 0)
-              }
-            }
-          case other =>
-            throw new UnsupportedOperationException(
-              s"graft-table source supports primitive columns; field ${f.name} has type $other")
-        }
-        (g: Group) => if (g.getFieldRepetitionCount(idx) == 0) null else get(g)
+        val get = valueGetter(fileType.getType(idx), f.dataType, f.name)
+        (g: Group) => if (g.getFieldRepetitionCount(idx) == 0) null else get(g, idx, 0)
       }
     }
 

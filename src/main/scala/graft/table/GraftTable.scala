@@ -2,9 +2,26 @@ package graft.table
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
+
+/** Per-column min/max harvested from a data file's parquet footer at commit
+  * time. `typ` selects the comparison domain: "long" (int32/int64,
+  * timestamps as epoch micros), "double" (float/double), "string" (UTF8
+  * binary). min/max are canonical strings so manifest JSON stays
+  * precision-exact. */
+final case class ColStats(typ: String, min: String, max: String)
+
+/** One manifest-listed data file: path, exact row count, on-disk bytes
+  * (byte-based admission control), and column stats (file pruning). */
+final case class FileInfo(path: String, rows: Long, bytes: Long,
+                          stats: Map[String, ColStats])
+
+/** Parsed manifest content (cached — manifests are immutable once written). */
+final case class ManifestData(batchIds: Seq[Long], replacesUpTo: Option[Long],
+                              rows: Long, files: Seq[FileInfo])
 
 /** From-scratch snapshot/manifest ACID table (Iceberg-style semantics, zero
   * Iceberg dependency — this sandbox ships Spark jars only; SURVEY §7.2).
@@ -12,7 +29,7 @@ import scala.jdk.CollectionConverters._
   * Layout under `root`:
   * {{{
   *   data/batch=<batchId>/part-*.parquet   column data, one dir per commit
-  *   manifests/manifest-<batchId>.json     file list + per-file lineage/rows + metrics
+  *   manifests/manifest-<batchId>.json     file list + per-file lineage/rows/bytes/column-stats + metrics
   *   snapshots/v<N>.json                   ordered list of committed manifests
   *   VERSION                               current snapshot number (atomic pointer)
   * }}}
@@ -45,15 +62,31 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     if (Files.exists(p("VERSION"))) new String(Files.readAllBytes(p("VERSION")), StandardCharsets.UTF_8).trim.toLong
     else 0L
 
+  // ---- metadata caches -----------------------------------------------
+  // Manifests and snapshot nodes are immutable once written, so parsed
+  // results are memoized per instance: without this, a long-lived V2
+  // reader re-walks the parent chain, re-probes snapshot files, and
+  // re-parses every manifest's JSON on EVERY trigger — O(versions) driver
+  // metadata I/O per micro-batch (round-2 advisor finding). vacuum() (the
+  // only operation that deletes metadata) clears them.
+  private val chainCache = scala.collection.concurrent.TrieMap.empty[Long, Seq[String]]
+  private val manifestCache = scala.collection.concurrent.TrieMap.empty[String, ManifestData]
+  private val addedCache = scala.collection.concurrent.TrieMap.empty[Long, Option[Seq[String]]]
+
+  private def invalidateMetaCaches(): Unit = {
+    chainCache.clear(); manifestCache.clear(); addedCache.clear()
+    idsCacheVersion = -1L
+  }
+
   /** Resolve snapshot v's full manifest list. Snapshots are a parent+delta
     * chain ({"parent": v-1, "added": [m]}) with a full {"manifests": [...]}
     * checkpoint every `checkpointInterval` commits, so commit cost is O(1)
     * amortized instead of rewriting the whole O(commits) list every time
     * (the round-1 flaw), while any historical version stays resolvable in
-    * ≤ checkpointInterval file reads. */
+    * ≤ checkpointInterval file reads (then memoized). */
   private def snapshotManifests(v: Long): Seq[String] =
     if (v == 0) Nil
-    else {
+    else chainCache.getOrElseUpdate(v, {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(Files.readAllBytes(p("snapshots", s"v$v.json")))
       if (node.has("manifests"))
@@ -61,9 +94,30 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
       else
         snapshotManifests(node.get("parent").asLong()) ++
           node.get("added").elements().asScala.map(_.asText()).toSeq
-    }
+    })
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Parsed (and memoized) manifest content. */
+  def manifest(name: String): ManifestData =
+    manifestCache.getOrElseUpdate(name, {
+      val node = mapper.readTree(Files.readAllBytes(p("manifests", name)))
+      val batchIds =
+        if (node.has("batchIds")) node.get("batchIds").elements().asScala.map(_.asLong()).toSeq
+        else Seq(node.get("batchId").asLong())
+      val replaces = if (node.has("replacesUpTo")) Some(node.get("replacesUpTo").asLong()) else None
+      val files = node.get("files").elements().asScala.map { f =>
+        val stats =
+          if (!f.has("stats")) Map.empty[String, ColStats]
+          else f.get("stats").properties().asScala.map { e =>
+            val s = e.getValue
+            e.getKey -> ColStats(s.get("t").asText(), s.get("min").asText(), s.get("max").asText())
+          }.toMap
+        FileInfo(f.get("path").asText(), f.get("rows").asLong(),
+          if (f.has("bytes")) f.get("bytes").asLong() else 0L, stats)
+      }.toSeq
+      ManifestData(batchIds, replaces, node.get("rows").asLong(), files)
+    })
 
   // (version, ids) cache: commit() consults committedBatchIds every batch,
   // and re-reading every manifest's JSON per commit would make per-commit
@@ -79,12 +133,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
   def committedBatchIds: Set[Long] = synchronized {
     val v = version
     if (v != idsCacheVersion) {
-      idsCache = snapshotManifests(v).flatMap { m =>
-        val node = mapper.readTree(Files.readAllBytes(p("manifests", m)))
-        if (node.has("batchIds"))
-          node.get("batchIds").elements().asScala.map(_.asLong()).toSeq
-        else Seq(node.get("batchId").asLong())
-      }.toSet
+      idsCache = snapshotManifests(v).flatMap(m => manifest(m).batchIds).toSet
       idsCacheVersion = v
     }
     idsCache
@@ -93,8 +142,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
   /** (isRewrite, replacesUpTo) for one manifest: a compaction manifest
     * replaces every version ≤ replacesUpTo. */
   def manifestRewriteInfo(name: String): (Boolean, Long) = synchronized {
-    val node = mapper.readTree(Files.readAllBytes(p("manifests", name)))
-    if (node.has("replacesUpTo")) (true, node.get("replacesUpTo").asLong()) else (false, 0L)
+    manifest(name).replacesUpTo.map((true, _)).getOrElse((false, 0L))
   }
 
   /** Ordered manifest names of snapshot `v` (manifest k-1 is the one added
@@ -108,7 +156,19 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     * in the live chain), resumed readers behind it must fail loudly. */
   def manifestsAddedAt(k: Long): Option[Seq[String]] = synchronized {
     if (k <= 0) Some(Nil)
-    else if (!Files.exists(p("snapshots", s"v$k.json"))) None
+    else if (addedCache.contains(k)) addedCache(k)
+    else {
+      val r = manifestsAddedAtUncached(k)
+      // cache Some (immutable while live) and None only for k inside the
+      // committed range (= expired forever); a not-yet-committed k must
+      // stay uncached or a later commit would be invisible
+      if (r.isDefined || k <= version) addedCache.put(k, r)
+      r
+    }
+  }
+
+  private def manifestsAddedAtUncached(k: Long): Option[Seq[String]] = {
+    if (!Files.exists(p("snapshots", s"v$k.json"))) None
     else {
       val node = mapper.readTree(Files.readAllBytes(p("snapshots", s"v$k.json")))
       if (node.has("added"))
@@ -128,19 +188,17 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
 
   /** (path, rows) for every data file of one manifest. */
   def manifestFileRows(name: String): Seq[(String, Long)] = synchronized {
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(Files.readAllBytes(p("manifests", name)))
-    node.get("files").elements().asScala
-      .map(f => (f.get("path").asText(), f.get("rows").asLong())).toSeq
+    manifest(name).files.map(f => (f.path, f.rows))
+  }
+
+  /** Full [[FileInfo]] (rows + bytes + column stats) of one manifest. */
+  def manifestFiles(name: String): Seq[FileInfo] = synchronized {
+    manifest(name).files
   }
 
   /** Exact readable file list (manifest-controlled — never a dir glob). */
   def dataFiles: Seq[String] = synchronized {
-    snapshotManifests(version).flatMap { m =>
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(Files.readAllBytes(p("manifests", m)))
-      node.get("files").elements().asScala.map(f => f.get("path").asText()).toSeq
-    }
+    snapshotManifests(version).flatMap(m => manifest(m).files.map(_.path))
   }
 
   def read(spark: SparkSession): DataFrame = readVersion(spark, version)
@@ -150,11 +208,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
   def readVersion(spark: SparkSession, v: Long): DataFrame = {
     require(v >= 0 && v <= version, s"snapshot v$v does not exist (latest: v$version)")
     val files = synchronized {
-      snapshotManifests(v).flatMap { m =>
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(Files.readAllBytes(p("manifests", m)))
-        node.get("files").elements().asScala.map(f => f.get("path").asText()).toSeq
-      }
+      snapshotManifests(v).flatMap(m => manifest(m).files.map(_.path))
     }
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files: _*)
@@ -167,10 +221,13 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     * data/ is structurally invisible, nothing is copied or linked, and the
     * offset log survives file renames/compaction (unlike the round-1
     * hardlink `published/` directory this replaces). */
-  def readStream(spark: SparkSession, maxFilesPerTrigger: Int = 32): DataFrame =
-    spark.readStream.format(classOf[GraftSourceProvider].getName)
+  def readStream(spark: SparkSession, maxFilesPerTrigger: Int = 32,
+                 maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format(classOf[GraftSourceProvider].getName)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .load(root)
+    maxBytesPerTrigger.foreach(b => r.option("maxBytesPerTrigger", b))
+    r.load(root)
+  }
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -178,11 +235,60 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
-  /** Per-file lineage from freshly written parquet FOOTERS — driver-side
-    * metadata reads only, no second Spark job over the data. The directory
-    * stream is CLOSED (Files.list holds an fd until closed; leaking one per
-    * commit starves the driver over a long stream). */
-  private def writtenFiles(dataDir: Path, hconf: org.apache.hadoop.conf.Configuration): Array[(String, Long)] = {
+  /** Column min/max from an open file's footer: only top-level primitive
+    * columns with trustworthy chunk statistics; a chunk with missing stats
+    * disqualifies its column for that file (conservative — the file is
+    * then never pruned on that column). */
+  private def footerStats(md: org.apache.parquet.hadoop.metadata.ParquetMetadata): Map[String, ColStats] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val acc = scala.collection.mutable.Map.empty[String, ColStats]
+    val dead = scala.collection.mutable.Set.empty[String]
+    md.getBlocks.asScala.foreach { block =>
+      block.getColumns.asScala.foreach { chunk =>
+        val pathParts = chunk.getPath.toArray
+        if (pathParts.length == 1) {
+          val colName = pathParts(0)
+          val st = chunk.getStatistics
+          val tn = chunk.getPrimitiveType.getPrimitiveTypeName
+          val isStr = chunk.getPrimitiveType.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          if (st == null) dead += colName
+          else if (st.hasNonNullValue) {
+            val enc: Option[(String, String, String, (String, String) => Boolean)] = tn match {
+              case INT64 | INT32 =>
+                Some(("long", st.genericGetMin.toString, st.genericGetMax.toString,
+                  (a: String, b: String) => a.toLong < b.toLong))
+              case DOUBLE | FLOAT =>
+                Some(("double", st.genericGetMin.toString, st.genericGetMax.toString,
+                  (a: String, b: String) => a.toDouble < b.toDouble))
+              case BINARY if isStr =>
+                Some(("string",
+                  st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                  st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                  (a: String, b: String) => a < b))
+              case _ => None
+            }
+            enc.foreach { case (t, mn, mx, lt) =>
+              acc.get(colName) match {
+                case None => acc(colName) = ColStats(t, mn, mx)
+                case Some(prev) =>
+                  acc(colName) = ColStats(t,
+                    if (lt(mn, prev.min)) mn else prev.min,
+                    if (lt(prev.max, mx)) mx else prev.max)
+              }
+            }
+          } // all-null chunk: contributes no bounds, earlier bounds stay valid
+        }
+      }
+    }
+    (acc -- dead).toMap
+  }
+
+  /** Per-file lineage + column stats from freshly written parquet FOOTERS —
+    * driver-side metadata reads only, no second Spark job over the data.
+    * The directory stream is CLOSED (Files.list holds an fd until closed;
+    * leaking one per commit starves the driver over a long stream). */
+  private def writtenFiles(dataDir: Path, hconf: org.apache.hadoop.conf.Configuration): Array[FileInfo] = {
     val listing = Files.list(dataDir)
     try {
       listing.iterator().asScala
@@ -191,14 +297,18 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(f.toUri), hconf)
           val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try (f.toString, rd.getRecordCount) finally rd.close()
-        }.toArray.sortBy((x: (String, Long)) => x._1)
+          try FileInfo(f.toString, rd.getRecordCount, Files.size(f), footerStats(rd.getFooter))
+          finally rd.close()
+        }.toArray.sortBy((x: FileInfo) => x.path)
     } finally listing.close()
   }
 
-  private def filesJsonOf(written: Array[(String, Long)]): String =
-    written.map { case (path, rows) =>
-      s"""{"path":${jsonStr(path)},"rows":$rows}"""
+  private def filesJsonOf(written: Array[FileInfo]): String =
+    written.map { fi =>
+      val statsJson = fi.stats.toSeq.sortBy(_._1).map { case (c, s) =>
+        s"""${jsonStr(c)}:{"t":${jsonStr(s.typ)},"min":${jsonStr(s.min)},"max":${jsonStr(s.max)}}"""
+      }.mkString("{", ",", "}")
+      s"""{"path":${jsonStr(fi.path)},"rows":${fi.rows},"bytes":${fi.bytes},"stats":$statsJson}"""
     }.mkString("[", ",", "]")
 
   /** Commit one micro-batch. Returns false (no-op) if batchId is already in
@@ -209,7 +319,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     df.write.mode("overwrite").parquet(dataDir.toString)
 
     val written = writtenFiles(dataDir, df.sparkSession.sessionState.newHadoopConf())
-    val totalRows = written.map(_._2).sum
+    val totalRows = written.map(_.rows).sum
     val filesJson = filesJsonOf(written)
     val metricsJson = metrics.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jsonStr(k)}:$v" }.mkString("{", ",", "}")
@@ -257,7 +367,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     val filesJson = filesJsonOf(written)
     val manifestName = s"manifest-rewrite-v$v.json"
     writeAtomic(p("manifests", manifestName),
-      s"""{"replacesUpTo":$v,"batchIds":${batchIds.toSeq.sorted.mkString("[", ",", "]")},"rows":${written.map(_._2).sum},"files":$filesJson,"metrics":{}}""")
+      s"""{"replacesUpTo":$v,"batchIds":${batchIds.toSeq.sorted.mkString("[", ",", "]")},"rows":${written.map(_.rows).sum},"files":$filesJson,"metrics":{}}""")
     writeAtomic(p("snapshots", s"v${v + 1}.json"),
       s"""{"version":${v + 1},"added":[${jsonStr(manifestName)}],"manifests":[${jsonStr(manifestName)}]}""")
     writeAtomic(p("VERSION"), (v + 1).toString)
@@ -322,15 +432,13 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
         if (!keptManifests.contains(m.getFileName.toString)) Files.delete(m)
       } finally listing.close()
     }
+    invalidateMetaCaches() // snapshot/manifest files were deleted
     deleted
   }
 
   /** Total committed row count straight from manifests (no data scan). */
   def committedRows: Long = synchronized {
-    snapshotManifests(version).map { m =>
-      new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(Files.readAllBytes(p("manifests", m))).get("rows").asLong()
-    }.sum
+    snapshotManifests(version).map(m => manifest(m).rows).sum
   }
 }
 

@@ -649,6 +649,94 @@ class StreamingSpec extends AnyFunSuite {
     assert(uids.distinct.length == uids.length)
   }
 
+  test("V2 source: manifest stats prune files on range predicates, rows exact") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_v2_prune").toString)
+    def batch(from: Int, until: Int, hour: String) =
+      (from until until).map(i => (i.toLong, s"r$i", ts(s"2025-09-19 $hour:00:00")))
+        .toDF("id", "v", "event_time").coalesce(1)
+    t.commit(batch(0, 100, "10"), 0L)
+    t.commit(batch(100, 200, "11"), 1L)
+    t.commit(batch(200, 300, "12"), 2L)
+    val df = s.read.format(classOf[graft.table.GraftSourceProvider].getName).load(t.root)
+    assert(df.rdd.getNumPartitions == 3)
+    // long-typed range predicate: only the overlapping file is planned
+    val longPruned = df.filter(col("id") >= 250L)
+    assert(longPruned.rdd.getNumPartitions == 1,
+      s"id >= 250 should plan 1 of 3 files, planned ${longPruned.rdd.getNumPartitions}")
+    assert(longPruned.count() == 50) // residual filter keeps rows exact
+    // string equality
+    val strPruned = df.filter(col("v") === "r0")
+    assert(strPruned.rdd.getNumPartitions == 1)
+    assert(strPruned.count() == 1)
+    // timestamp range (epoch-micros int64 stats vs Timestamp filter value)
+    val tsPruned = df.filter(col("event_time") >= lit(ts("2025-09-19 11:30:00")))
+    assert(tsPruned.rdd.getNumPartitions == 1,
+      s"time range should plan 1 of 3 files, planned ${tsPruned.rdd.getNumPartitions}")
+    assert(tsPruned.count() == 100)
+    // a filter outside every range plans zero files
+    assert(df.filter(col("id") > 10000L).rdd.getNumPartitions == 0)
+  }
+
+  test("V2 source: byte budget bounds each micro-batch regardless of file skew") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_v2_bytes").toString)
+    t.commit((0 until 20000).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1), 0L)
+    t.commit((0 until 10).map(i => (i.toLong, "s")).toDF("id", "v").coalesce(1), 1L)
+    t.commit((10 until 20).map(i => (i.toLong, "s")).toDF("id", "v").coalesce(1), 2L)
+    val bigBytes = t.manifestFiles("manifest-0.json").map(_.bytes).sum
+    assert(bigBytes > 0, "manifests must carry per-file bytes")
+
+    def run(budget: Long): Seq[Long] = {
+      val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = t.readStream(s, maxFilesPerTrigger = 1000, maxBytesPerTrigger = Some(budget))
+        .writeStream
+        .option("checkpointLocation", Files.createTempDirectory("ckpt_bytes").toString)
+        .foreachBatch((df: DataFrame, _: Long) => { counts += df.count(); () })
+        .start()
+      q.processAllAvailable(); q.stop()
+      counts.toSeq.filter(_ > 0)
+    }
+    // budget = the big file: trigger 1 carries it alone (adding the small
+    // version would overflow), trigger 2 carries both small versions
+    assert(run(bigBytes) == Seq(20000L, 20L))
+    // budget below any file: one version per trigger (stream still advances)
+    assert(run(1L) == Seq(20000L, 10L, 10L))
+    // effectively unbounded: everything in one micro-batch
+    assert(run(1L << 40) == Seq(20020L))
+  }
+
+  test("V2 source: array/map/struct columns round-trip the change stream") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_v2_nested").toString)
+    def widen(df: DataFrame): DataFrame = df.select(col("id"),
+      array(lit("a"), concat(lit("x"), col("id").cast("string"))).as("tags"),
+      map(lit("k1"), col("id"), lit("k2"), col("id") * 2).as("props"),
+      array(struct(lit("ak").as("attr_key"), col("id").cast("string").as("v_str"),
+        (col("id") % 2 === 0).as("v_bool"))).as("bag"),
+      when(col("id") % 2 === 0, array(lit("even"), lit(null).cast("string")))
+        .as("maybe_tags")) // null array AND null element inside an array
+    t.commit(widen(s.range(5).toDF("id")).coalesce(1), 0L)
+
+    def canon(df: DataFrame): Seq[(Long, String)] = df
+      .select(col("id"), to_json(struct(col("tags"), col("props"), col("bag"), col("maybe_tags"))).as("j"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+
+    val expected = canon(widen(s.range(5).toDF("id")))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = t.readStream(s)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_nested").toString)
+      .foreachBatch((df: DataFrame, _: Long) => { got ++= canon(df); () })
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(got.sortBy(_._1) == expected,
+      s"nested round-trip diverged:\n got=${got.sortBy(_._1)}\n exp=$expected")
+  }
+
   test("V2 source: batch read serves exactly the manifest-listed files") {
     val s = spark
     import s.implicits._

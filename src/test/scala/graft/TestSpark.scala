@@ -10,6 +10,9 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+      // MICROS over deprecated INT96: INT96 footers carry no usable
+      // min/max, which disables GraftTable manifest stats / file pruning
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
