@@ -564,6 +564,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("push source (OTLP analog): socket push → WAL → tolerant decode → pipeline") {
+    val s = spark
+    val wal = Files.createTempDirectory("push_wal").toString
+    def line(id: String, tr: String, t: String, eid: Long) =
+      s"""{"clip_id":"$id","sr_hz":16000,"dur_ms":500,"codec":"wav","transcript":"$tr","event_time":"$t","tenant_id":7,"event_id":$eid}"""
+    val q = graft.sources.PushLog.readClips(s, wal)
+      .transform(df => StreamingJobs.events(s, df))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_push").toString)
+      .format("memory").queryName("push_out").start()
+    try {
+      // the receiver starts with the stream's initialization — poll for it
+      val d0 = System.nanoTime() + 10_000_000_000L
+      while (graft.sources.PushReceiver.boundPort(wal).isEmpty &&
+        System.nanoTime() < d0) Thread.sleep(20)
+      val port = graft.sources.PushReceiver.boundPort(wal).get
+      val sock = new java.net.Socket("127.0.0.1", port)
+      val w = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8), true)
+      w.println(line("clip-t0-s0-0000000001", "access denied", "2025-09-19T10:00:00Z", 1))
+      w.println("this is not json at all")
+      w.println(line("clip-t0-s0-0000000002", "login ok", "2025-09-19T10:01:00Z", 2))
+      w.println("""{"valid_json": "but no clip_id"}""")
+      w.flush(); sock.close()
+      // durable receipt: wait until all 4 lines hit the WAL, then drain
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (graft.sources.PushReceiver.ensure(wal, 0).count < 4 &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      assert(graft.sources.PushReceiver.ensure(wal, 0).count == 4, "push lines not persisted")
+      q.processAllAvailable()
+      // 2 events (access denied + login ok); junk pushes skipped, not fatal
+      assert(s.sql("SELECT * FROM push_out").count() == 2)
+      // durable-receipt replay: a batch re-read returns the same 4 raw lines
+      val raw = s.read.format(classOf[graft.sources.GraftPushProvider].getName)
+        .option("wal", wal).load()
+      assert(raw.count() == 4)
+    } finally { q.stop(); graft.sources.PushReceiver.stop(wal) }
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     val s = spark
     import s.implicits._
