@@ -37,6 +37,9 @@ object Coerce {
     when(c.isNull, array().cast("array<string>"))
       .when(sv === "ARRAY<STRING>" || sv === "ARRAY<VOID>",
         transform(asArray, x => coalesce(x, lit(""))))
+      // the JSON literal "null": Unmarshal succeeds leaving a nil slice —
+      // len 0 ⇒ record skipped, NOT a plain-string fallback
+      .when(sv === "VOID", array().cast("array<string>"))
       .otherwise(array(c))
   }
 
@@ -44,14 +47,16 @@ object Coerce {
     * covering every runtime branch: a JSON array with a null element
     * (decoded as ""), a plain string, a JSON object, a non-string-element
     * array and a bare number (all three Unmarshal failures → single
-    * plain-string result), and an empty array (record skipped).
+    * plain-string result), the JSON literal `null` (nil slice → record
+    * skipped), and an empty array (record skipped).
     * Output: (clip_id, pos, result) with 1-based element position. */
   def polymorphic(clips: DataFrame): DataFrame = {
-    val raw = when(col("event_id") % 6 === 0, lit("""["fail", null, "pass"]"""))
-      .when(col("event_id") % 6 === 1, lit("plain-result"))
-      .when(col("event_id") % 6 === 2, lit("""{"not": "an array"}"""))
-      .when(col("event_id") % 6 === 3, lit("""[1, 2]"""))
-      .when(col("event_id") % 6 === 4, lit("123"))
+    val raw = when(col("event_id") % 7 === 0, lit("""["fail", null, "pass"]"""))
+      .when(col("event_id") % 7 === 1, lit("plain-result"))
+      .when(col("event_id") % 7 === 2, lit("""{"not": "an array"}"""))
+      .when(col("event_id") % 7 === 3, lit("""[1, 2]"""))
+      .when(col("event_id") % 7 === 4, lit("123"))
+      .when(col("event_id") % 7 === 5, lit("null"))
       .otherwise(lit("[]"))
     clips.select(col("clip_id"), raw.as("results_raw"))
       .select(col("clip_id"), posexplode(coerceResults(col("results_raw"))).as(Seq("p", "result")))
@@ -70,14 +75,16 @@ FROM (
                 AND len(list_filter(json_transform(raw, '["JSON"]'),
                       x -> json_type(x) NOT IN ('VARCHAR'))) = 0
              THEN list_transform(json_transform(raw, '["VARCHAR"]'), x -> COALESCE(x, ''))
+           WHEN json_valid(raw) AND json_type(raw) = 'NULL' THEN []
            ELSE [raw] END AS coerced
     FROM (
       SELECT clip_id,
-        CASE WHEN event_id % 6 = 0 THEN '["fail", null, "pass"]'
-             WHEN event_id % 6 = 1 THEN 'plain-result'
-             WHEN event_id % 6 = 2 THEN '{"not": "an array"}'
-             WHEN event_id % 6 = 3 THEN '[1, 2]'
-             WHEN event_id % 6 = 4 THEN '123'
+        CASE WHEN event_id % 7 = 0 THEN '["fail", null, "pass"]'
+             WHEN event_id % 7 = 1 THEN 'plain-result'
+             WHEN event_id % 7 = 2 THEN '{"not": "an array"}'
+             WHEN event_id % 7 = 3 THEN '[1, 2]'
+             WHEN event_id % 7 = 4 THEN '123'
+             WHEN event_id % 7 = 5 THEN 'null'
              ELSE '[]' END AS raw
       FROM clips) r0) r1) r2"""
 }

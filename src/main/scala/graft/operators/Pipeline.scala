@@ -263,7 +263,10 @@ object Pipeline {
     * per-clip count table). */
   def counters(spark: SparkSession, clips: DataFrame, allowed: Seq[String] = Nil): DataFrame = {
     Rules.validateStatusFilter(allowed).left.foreach(e => throw new IllegalArgumentException(e))
-    val n = coalesce(size(matchedRules(allowed)), lit(0))
+    // coalesce BEFORE size: with ANSI off, legacy size(null) = -1 would
+    // slip through a post-size coalesce and silently corrupt the counters
+    val n = size(coalesce(matchedRules(allowed),
+      array().cast(s"array<${Rules.ruleStructDdl}>")))
     clips.select(n.as("n"))
       .agg(
         count(lit(1)).as("incoming_logs_total"),

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.BufferedWriter
 import java.net.{ServerSocket, Socket, SocketException}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
@@ -63,20 +62,57 @@ object PushLog {
 
 /** One TCP listener + WAL appender per WAL directory. A pushed line is
   * visible to offsets only AFTER it is flushed to the WAL (durable
-  * receipt). Restart recovery: the line count is re-derived from the WAL. */
+  * receipt).
+  *
+  * Restart recovery scans the WAL ONCE: the line count and a sparse
+  * line→byte index are rebuilt, and a trailing PARTIAL line (a crash
+  * between buffer flush boundaries) is truncated away — it was never
+  * visible to offsets, and appending onto it would merge two records.
+  *
+  * The index (byte offset of every `IndexEvery`-th line) lets a
+  * micro-batch reader seek near its start offset instead of re-reading
+  * the whole WAL per trigger (O(WAL) per trigger → O(n²) cumulative on a
+  * long-lived stream). Retention: the WAL is append-only for the life of
+  * the receiver; rotate by draining a stream to its checkpointed end,
+  * then starting a fresh receiver on a new WAL directory (the same
+  * epoch-style rotation any file-backed receiver uses). */
 final class PushReceiver private (val walDir: String, requestedPort: Int) {
   private val walPath: Path = Paths.get(walDir, "push.wal")
   Files.createDirectories(Paths.get(walDir))
 
-  @volatile private var lineCount: Long =
-    if (!Files.exists(walPath)) 0L
-    else {
-      val s = Files.lines(walPath, StandardCharsets.UTF_8)
-      try s.count() finally s.close()
+  private val IndexEvery = 1024
+  // index(k) = byte offset where line number k*IndexEvery starts
+  private val index = scala.collection.mutable.ArrayBuffer[Long](0L)
+  @volatile private var lineCount: Long = 0L
+  private var bytePos: Long = 0L
+
+  if (Files.exists(walPath)) {
+    val in = new java.io.BufferedInputStream(Files.newInputStream(walPath))
+    val total =
+      try {
+        var lastNl = 0L
+        var pos = 0L
+        var b = in.read()
+        while (b >= 0) {
+          pos += 1
+          if (b == '\n') {
+            lastNl = pos
+            lineCount += 1
+            if (lineCount % IndexEvery == 0) index += lastNl
+          }
+          b = in.read()
+        }
+        bytePos = lastNl
+        pos
+      } finally in.close()
+    if (total != bytePos) { // trailing partial line: never acknowledged
+      val ch = java.nio.channels.FileChannel.open(walPath, StandardOpenOption.WRITE)
+      try ch.truncate(bytePos) finally ch.close()
     }
+  }
 
   private val server = new ServerSocket(requestedPort)
-  private val out: BufferedWriter = Files.newBufferedWriter(walPath, StandardCharsets.UTF_8,
+  private val out = Files.newOutputStream(walPath,
     StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   @volatile private var closed = false
 
@@ -84,15 +120,25 @@ final class PushReceiver private (val walDir: String, requestedPort: Int) {
   def count: Long = lineCount
   def wal: Path = walPath
 
+  /** (byteOffset, lineNumber) of the nearest indexed line ≤ `line` — the
+    * reader seeks there and skips at most IndexEvery-1 lines. */
+  def seekFor(line: Long): (Long, Long) = synchronized {
+    val k = math.min(line / IndexEvery, (index.size - 1).toLong).toInt
+    (index(k), k.toLong * IndexEvery)
+  }
+
   private def handle(sock: Socket): Unit = {
     val br = new java.io.BufferedReader(
       new java.io.InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     try {
       var line = br.readLine()
       while (line != null) {
+        val bytes = line.getBytes(StandardCharsets.UTF_8)
         synchronized {
-          out.write(line); out.newLine(); out.flush()
+          out.write(bytes); out.write('\n'); out.flush()
+          bytePos += bytes.length + 1
           lineCount += 1
+          if (lineCount % IndexEvery == 0) index += bytePos
         }
         line = br.readLine()
       }
@@ -156,7 +202,7 @@ final class GraftPushTable(walDir: String, port: Int, maxRows: Option[Long])
       override def toBatch: Batch = new Batch {
         private val rcv = PushReceiver.ensure(walDir, port)
         override def planInputPartitions(): Array[InputPartition] =
-          Array(PushInputPartition(rcv.wal.toString, 0L, rcv.count))
+          Array(PushInputPartition(rcv.wal.toString, 0L, rcv.count, 0L, 0L))
         override def createReaderFactory(): PartitionReaderFactory = new PushReaderFactory
       }
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -195,7 +241,10 @@ final class GraftPushMicroBatchStream(walDir: String, port: Int, maxRows: Option
     val from = start.asInstanceOf[PushOffset].lines
     val to = end.asInstanceOf[PushOffset].lines
     if (to <= from) Array.empty
-    else Array(PushInputPartition(receiver.wal.toString, from, to))
+    else {
+      val (seekPos, seekLine) = receiver.seekFor(from)
+      Array(PushInputPartition(receiver.wal.toString, from, to, seekPos, seekLine))
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new PushReaderFactory
@@ -203,21 +252,29 @@ final class GraftPushMicroBatchStream(walDir: String, port: Int, maxRows: Option
   override def stop(): Unit = ()
 }
 
-case class PushInputPartition(walPath: String, start: Long, end: Long) extends InputPartition
+case class PushInputPartition(walPath: String, start: Long, end: Long,
+                              seekPos: Long, seekLine: Long) extends InputPartition
 
 final class PushReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PushInputPartition]
-    new PushPartitionReader(p.walPath, p.start, p.end)
+    new PushPartitionReader(p.walPath, p.start, p.end, p.seekPos, p.seekLine)
   }
 }
 
 /** Reads WAL lines [start, end). The WAL is append-only, so a replayed
-  * range returns bit-identical lines. */
-final class PushPartitionReader(walPath: String, start: Long, end: Long)
+  * range returns bit-identical lines; the (seekPos, seekLine) hint from
+  * the receiver's sparse index bounds the skip to < IndexEvery lines
+  * instead of re-reading the whole WAL. */
+final class PushPartitionReader(walPath: String, start: Long, end: Long,
+                                seekPos: Long, seekLine: Long)
     extends PartitionReader[InternalRow] {
-  private val br = Files.newBufferedReader(Paths.get(walPath), StandardCharsets.UTF_8)
-  private var idx = 0L
+  private val ch = java.nio.channels.FileChannel.open(
+    Paths.get(walPath), StandardOpenOption.READ)
+  ch.position(seekPos)
+  private val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+    java.nio.channels.Channels.newInputStream(ch), StandardCharsets.UTF_8))
+  private var idx = seekLine
   while (idx < start && br.readLine() != null) idx += 1
   private var current: String = _
 

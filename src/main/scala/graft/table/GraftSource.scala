@@ -93,12 +93,25 @@ object FilePrune {
 
   private def supportedValue(v: Any): Boolean = v match {
     case null => false
+    // NaN never prunes: parquet stats exclude NaN, and Spark's row
+    // semantics treat NaN = NaN as TRUE — range logic cannot see it
+    case d: java.lang.Double => !d.isNaN
+    case f: java.lang.Float => !f.isNaN
     case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
-         _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float |
+         _: java.lang.Byte |
          _: String | _: java.sql.Timestamp | _: java.time.Instant |
          _: java.time.LocalDateTime | _: java.sql.Date | _: java.time.LocalDate => true
     case _ => false
   }
+
+  /** Spark row comparison for strings is UTF-8 BYTE order (UTF8String),
+    * matching parquet's unsigned-byte stats comparator — java.lang.String
+    * compareTo is UTF-16 code-unit order, which disagrees beyond the BMP
+    * and would wrongly prune files containing supplementary characters. */
+  private[table] def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** sign of (statValue - filterValue) in the stat's comparison domain;
     * None ⇒ incomparable ⇒ caller must keep the file. */
@@ -127,11 +140,18 @@ object FilePrune {
           case _ => None
         }
       case "double" => v match {
-        case n: java.lang.Number => Some(java.lang.Double.compare(stat.toDouble, n.doubleValue))
+        case n: java.lang.Number =>
+          val s = stat.toDouble
+          val d = n.doubleValue
+          // NaN is incomparable (keep the file); -0.0 == 0.0 must compare
+          // equal the way Spark row equality does, not Double.compare's -1
+          if (s.isNaN || d.isNaN) None
+          else if (s == d) Some(0)
+          else Some(java.lang.Double.compare(s, d))
         case _ => None
       }
       case "string" => v match {
-        case str: String => Some(stat.compareTo(str))
+        case str: String => Some(utf8Cmp(stat, str))
         case _ => None
       }
       case _ => None

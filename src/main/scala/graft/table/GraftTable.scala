@@ -252,7 +252,14 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
           val tn = chunk.getPrimitiveType.getPrimitiveTypeName
           val isStr = chunk.getPrimitiveType.getLogicalTypeAnnotation
             .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
-          if (st == null) dead += colName
+          // a chunk with PRESENT-but-empty stats is ambiguous: parquet-mr
+          // also omits binary min/max when they exceed MAX_STATS_SIZE, so
+          // "no bounds" only means "all null" when the null count proves
+          // it — otherwise the column's file-level bounds would not cover
+          // this chunk and pruning on them would drop rows
+          val provablyAllNull = st != null && !st.hasNonNullValue &&
+            st.isNumNullsSet && st.getNumNulls == chunk.getValueCount
+          if (st == null || (!st.hasNonNullValue && !provablyAllNull)) dead += colName
           else if (st.hasNonNullValue) {
             val enc: Option[(String, String, String, (String, String) => Boolean)] = tn match {
               case INT64 | INT32 =>
@@ -262,10 +269,12 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
                 Some(("double", st.genericGetMin.toString, st.genericGetMax.toString,
                   (a: String, b: String) => a.toDouble < b.toDouble))
               case BINARY if isStr =>
+                // merge in UTF-8 BYTE order (parquet's stats comparator and
+                // Spark's UTF8String order), not Java's UTF-16 String order
                 Some(("string",
                   st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
                   st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
-                  (a: String, b: String) => a < b))
+                  (a: String, b: String) => FilePrune.utf8Cmp(a, b) < 0))
               case _ => None
             }
             enc.foreach { case (t, mn, mx, lt) =>

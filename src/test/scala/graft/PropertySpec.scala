@@ -93,6 +93,7 @@ class PropertySpec extends AnyFunSuite {
       // Unmarshal-into-[]string failures → the whole string, verbatim:
       2 -> Gen.const(("""{"an":"object"}""", Seq("""{"an":"object"}"""))),
       1 -> Gen.const(("[1,2]", Seq("[1,2]"))),                       // non-string elements
+      1 -> Gen.const(("null", Seq.empty[String])),                   // JSON null → nil slice → skip
       1 -> Gen.const(("[\"broken", Seq("[\"broken"))))               // invalid JSON → plain
     samples(Gen.listOfN(30, caseGen), 4).foreach { cases =>
       val df = cases.zipWithIndex.map { case ((r, _), i) => (i.toLong, r) }.toDF("event_id", "raw")

@@ -603,6 +603,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); graft.sources.PushReceiver.stop(wal) }
   }
 
+  test("push WAL recovery truncates a trailing partial line; seek index serves offsets") {
+    val s = spark
+    val wal = Files.createTempDirectory("push_wal_rec").toString
+    val p = java.nio.file.Paths.get(wal, "push.wal")
+    val lines = (0 until 2500).map(i => s"""{"n":$i}""")
+    // simulate a crash mid-append: complete lines + a partial fragment
+    Files.write(p, (lines.mkString("\n") + "\n" + """{"partial""").getBytes("UTF-8"))
+    val rcv = graft.sources.PushReceiver.ensure(wal, 0)
+    try {
+      assert(rcv.count == 2500, "partial fragment must not count as a line")
+      assert(Files.readAllBytes(p).last == '\n'.toByte, "fragment must be truncated")
+      val raw = s.read.format(classOf[graft.sources.GraftPushProvider].getName)
+        .option("wal", wal).load()
+      assert(raw.count() == 2500)
+      // sparse index: a reader for a late range seeks, not re-reads from 0
+      val (pos, ln) = rcv.seekFor(2400)
+      assert(ln == 2048 && pos > 0, s"expected the 1024-line index point, got ($pos, $ln)")
+      val r = new graft.sources.PushPartitionReader(p.toString, 2400, 2500, pos, ln)
+      try {
+        var cnt = 0
+        while (r.next()) cnt += 1
+        assert(cnt == 100)
+      } finally r.close()
+    } finally graft.sources.PushReceiver.stop(wal)
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     val s = spark
     import s.implicits._
