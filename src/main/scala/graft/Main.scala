@@ -16,7 +16,8 @@ import graft.table.{ExactlyOnceSink, GraftTable}
   *   spark-submit --class graft.Main <jar> \
   *     --input <clipTableDir> --output <graftTableRoot> \
   *     --checkpoint <dir> [--status-filter fail,error] \
-  *     [--max-files-per-trigger 32] [--once]
+  *     [--job events|pipeline|windows|sessions|cep] \
+  *     [--max-files-per-trigger 32] [--max-bytes-per-trigger N] [--once]
   *
   * Config validation mirrors the reference (C1, config.go): status_filter
   * values outside {pass,fail,error,skip} are rejected, case-sensitively.
@@ -25,11 +26,13 @@ object Main {
 
   final case class Config(input: String = "", output: String = "",
                           checkpoint: String = "", statusFilter: Seq[String] = Nil,
-                          maxFilesPerTrigger: Int = 32, once: Boolean = true,
+                          maxFilesPerTrigger: Int = 32,
+                          maxBytesPerTrigger: Option[Long] = None,
+                          once: Boolean = true,
                           job: String = "events", rocksdb: Boolean = false,
                           enabled: Boolean = true, lineage: Boolean = false)
 
-  val ValidJobs: Set[String] = Set("events", "windows", "sessions", "cep")
+  val ValidJobs: Set[String] = Set("events", "pipeline", "windows", "sessions", "cep")
 
   def parseArgs(args: Array[String]): Either[String, Config] = {
     def loop(rest: List[String], c: Config): Either[String, Config] = rest match {
@@ -40,6 +43,9 @@ object Main {
       case "--status-filter" :: v :: t =>
         loop(t, c.copy(statusFilter = v.split(",").toSeq.filter(_.nonEmpty)))
       case "--max-files-per-trigger" :: v :: t => loop(t, c.copy(maxFilesPerTrigger = v.toInt))
+      // memory_limiter analog (reference ocb/config.yaml:29-31): a BYTE
+      // ceiling per micro-batch — file sizes vary ~100× after compaction
+      case "--max-bytes-per-trigger" :: v :: t => loop(t, c.copy(maxBytesPerTrigger = Some(v.toLong)))
       case "--job" :: v :: t => loop(t, c.copy(job = v))
       case "--rocksdb" :: t => loop(t, c.copy(rocksdb = true))
       // reference `enabled: false` (config.go:8-25): identity pass-through
@@ -87,20 +93,27 @@ object Main {
     val sink = new ExactlyOnceSink(table, lineage = conf.lineage)
 
     val schema = spark.read.parquet(conf.input).schema
-    val clips = spark.readStream.schema(schema)
+    val reader = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
-      .parquet(conf.input)
+    conf.maxBytesPerTrigger.foreach(b => reader.option("maxBytesPerTrigger", b))
+    val clips = reader.parquet(conf.input)
     val out =
       if (!conf.enabled) clips // reference enabled=false: identity pass-through
-      else {
-        val events = Metrics.observeEvents(
-          StreamingJobs.eventsObserved(spark, clips, conf.statusFilter))
-        conf.job match {
-          case "windows"  => StreamingJobs.windowedCounts(events)
-          case "sessions" => StreamingJobs.sessionCounts(events)
-          case "cep"      => StreamingJobs.streamingCep(spark, events).toDF()
-          case _          => events
-        }
+      else conf.job match {
+        // the full reference pipeline incl. the R2 pass-through union —
+        // streamable in append mode because the plan is map-only
+        // (single scan, conditional explode; no join, no aggregation)
+        case "pipeline" =>
+          graft.operators.Pipeline.fullPipeline(spark, clips, conf.statusFilter)
+        case job =>
+          val events = Metrics.observeEvents(
+            StreamingJobs.eventsObserved(spark, clips, conf.statusFilter))
+          job match {
+            case "windows"  => StreamingJobs.windowedCounts(events)
+            case "sessions" => StreamingJobs.sessionCounts(events)
+            case "cep"      => StreamingJobs.streamingCep(spark, events).toDF()
+            case _          => events
+          }
       }
 
     val q = out.writeStream

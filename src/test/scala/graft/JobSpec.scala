@@ -28,6 +28,11 @@ class JobSpec extends AnyFunSuite {
       "--checkpoint", "c", "--disabled")).exists(!_.enabled))
     assert(Main.parseArgs(Array("--input", "i", "--output", "o",
       "--checkpoint", "c", "--lineage")).exists(_.lineage))
+    assert(Main.parseArgs(Array("--input", "i", "--output", "o",
+      "--checkpoint", "c", "--job", "pipeline")).exists(_.job == "pipeline"))
+    assert(Main.parseArgs(Array("--input", "i", "--output", "o",
+      "--checkpoint", "c", "--max-bytes-per-trigger", "4194304"))
+      .exists(_.maxBytesPerTrigger.contains(4194304L)))
   }
 
   test("disabled processor is a whole-stream identity pass-through") {

@@ -603,6 +603,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); graft.sources.PushReceiver.stop(wal) }
   }
 
+  test("streaming fullPipeline (R2 union) is map-only streamable, matches batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Clip]
+    val rows = Seq(
+      clip("clip-t0-s0-0000000001", "access denied", "2025-09-19 10:00:00", 1),
+      clip("clip-t0-s0-0000000002", "nothing matches here", "2025-09-19 10:01:00", 2),
+      clip("clip-t0-s0-0000000003", "login ok", "2025-09-19 10:02:00", 3),
+      Clip("clip-t0-s0-0000000004", 16000, 500, "opus-stub", "access denied",
+        ts("2025-09-19 10:03:00"), 7L, 4L)) // gate-failed → pass-through
+    // append-mode streamable only because the plan is map-only (no
+    // join/agg): the R2 union runs in-stream, passthrough included
+    val q = Pipeline.fullPipeline(s, ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("fp_out").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT * FROM fp_out").collect()
+        .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+      val batch = Pipeline.fullPipeline(s, rows.toDF()).collect()
+        .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+      assert(streamed.length == 4) // 2 events + 2 pass-throughs
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("push WAL recovery truncates a trailing partial line; seek index serves offsets") {
     val s = spark
     val wal = Files.createTempDirectory("push_wal_rec").toString
