@@ -202,14 +202,16 @@ object Pipeline {
   /** Per-rule surviving-match predicate over ONE element of
     * [[Rules.arrayLit]]: substring match (X1) + tolerant decode (X3) +
     * status filter (F2), folded into a single expression so "which rules
-    * survive for this clip" needs no join. */
+    * survive for this clip" needs no join. Decode validity and status come
+    * from the literal's pre-folded `decode_ok`/`result` fields — the hot
+    * row loop does ZERO JSON parsing (payloads are static; parsing them
+    * per row per rule was ~half the single-scan plan's cost). */
   private def ruleSurvives(allowed: Seq[String])(rr: Column): Column = {
-    val decoded = from_json(rr.getField("payload_json"), Rules.payloadSchema)
     val statusOk =
       if (allowed.isEmpty) lit(true)
-      else decoded.getField("result").isin(allowed: _*)
+      else rr.getField("result").isin(allowed: _*)
     contains(col("transcript"), rr.getField("pattern")) &&
-      try_parse_json(rr.getField("payload_json")).isNotNull && statusOk
+      rr.getField("decode_ok") && statusOk
   }
 
   /** Surviving-rule array per clip (null when the gate fails, empty when no
