@@ -91,12 +91,14 @@ FROM documents GROUP BY 1"""
         col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
 
-  /** Shared scoring tail: (doc_a, doc_b, common) + per-doc shingle sizes →
-    * integer-scaled Jaccard, thresholded. Used by both the full co-shingled
-    * scorer and the LSH candidate-restricted verify so the two dedup paths
-    * cannot drift on the scaling/threshold semantics. */
-  private def jaccardScored(common: DataFrame, sh: DataFrame, minX1000: Long): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+  /** Shared scoring tail: (doc_a, doc_b, common) + per-doc shingle sizes
+    * (`sizes`: doc_id, sz) → integer-scaled Jaccard, thresholded. Used by
+    * both the full co-shingled scorer and the LSH candidate-restricted
+    * verify so the two dedup paths cannot drift on the scaling/threshold
+    * semantics. Callers that already aggregate per doc (the minhash
+    * signature) piggyback the size count on that groupBy instead of
+    * paying a second shuffle over the shingle relation. */
+  private def jaccardScored(common: DataFrame, sizes: DataFrame, minX1000: Long): DataFrame = {
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
@@ -136,7 +138,7 @@ FROM documents GROUP BY 1"""
         // exact common over FULL shingle sets, restricted to candidates
         commonForCandidates(candPairs.distinct(), sh)
     }
-    jaccardScored(common, sh, minX1000)
+    jaccardScored(common, sh.groupBy("doc_id").agg(count(lit(1)).as("sz")), minX1000)
       .select("doc_a", "doc_b", "common", "jac_x1000")
   }
 
@@ -165,8 +167,11 @@ WHERE (1000 * common) // (sa.sz + sb.sz - common) >= $minX1000"""
     // carries one pre-aggregated row per (partition, doc) — the previous
     // form exploded every shingle ×8 through a (doc,h) exchange plus a
     // second collect_list exchange for the same values
+    // the shingle-set size rides along as a 9th aggregate: jaccardScored
+    // needs it and a separate groupBy over sh would be a second shuffle
     val mins = (0 until 8).map(h =>
-      min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"mh$h"))
+      min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"mh$h")) :+
+      count(lit(1)).as("sz")
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bandKeys = array((0 until 4).map(b =>
       md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)
@@ -181,7 +186,7 @@ WHERE (1000 * common) // (sa.sz + sb.sz - common) >= $minX1000"""
     // judge finding: joining cands against the whole ngramJaccard relation
     // defeats LSH at scale).
     val common = commonForCandidates(cands, sh)
-    jaccardScored(common, sh, minX1000)
+    jaccardScored(common, sig.select("doc_id", "sz"), minX1000)
       .select("doc_a", "doc_b", "jac_x1000")
   }
 
