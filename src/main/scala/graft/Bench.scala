@@ -221,16 +221,24 @@ object Bench {
           if (den > 0.0) (num / den) / 4.0 else 0.0
         val thr32 = med(sane(t32.toSeq)); val thr8 = med(sane(t8.toSeq))
         val thr2 = med(sane(t2.toSeq))
-        val eff832 = ratio(thr32, thr8)
-        val eff28 = ratio(thr8, thr2)
         val eff832best = ratio(t32.max, t8.max)
         val eff28best = ratio(t8.max, t2.max)
+        // Physical bound: N→4N efficiency cannot exceed 1 (super-linear =
+        // a contaminated narrow denominator the 3× floor was too lax to
+        // catch). Fall back to best-vs-best — both sides' least-disturbed
+        // samples — and flag the fallback in the artifact.
+        def bounded(median: Double, best: Double): (Double, Boolean) =
+          if (median > 1.0) (math.min(best, 1.0), true) else (median, false)
+        val (eff832, f832) = bounded(ratio(thr32, thr8), eff832best)
+        val (eff28, f28) = bounded(ratio(thr8, thr2), eff28best)
+        val flags = (if (f832) Seq("eff_8_32_fell_back_to_best") else Nil) ++
+          (if (f28) Seq("eff_2_8_fell_back_to_best") else Nil)
         val loadAfter = loadAvg
         // free the tmpfs space for the next round
         import scala.sys.process._
         Seq("rm", "-rf", "/dev/shm/graft_bench").!
         def arr(xs: Seq[Double]) = xs.map(v => f"$v%.0f").mkString(",")
-        f"""{"n_clips":$nClips,"clips_per_sec_local2":${thr2}%.1f,"clips_per_sec_local8":${thr8}%.1f,"clips_per_sec_local32":${thr32}%.1f,"scaling_efficiency":${eff832}%.3f,"scaling_efficiency_best":${eff832best}%.3f,"scaling_efficiency_2_to_8":${eff28}%.3f,"scaling_efficiency_2_to_8_best":${eff28best}%.3f,"trials_local2":[${arr(t2.toSeq)}],"trials_local8":[${arr(t8.toSeq)}],"trials_local32":[${arr(t32.toSeq)}],"host_load_avg_per_trial":[${loads.map(v => f"$v%.1f").mkString(",")}],"host_load_avg_before":$loadBefore%.1f,"host_load_avg_after":$loadAfter%.1f}"""
+        f"""{"n_clips":$nClips,"clips_per_sec_local2":${thr2}%.1f,"clips_per_sec_local8":${thr8}%.1f,"clips_per_sec_local32":${thr32}%.1f,"scaling_efficiency":${eff832}%.3f,"scaling_efficiency_best":${eff832best}%.3f,"scaling_efficiency_2_to_8":${eff28}%.3f,"scaling_efficiency_2_to_8_best":${eff28best}%.3f,"trials_local2":[${arr(t2.toSeq)}],"trials_local8":[${arr(t8.toSeq)}],"trials_local32":[${arr(t32.toSeq)}],"host_load_avg_per_trial":[${loads.map(v => f"$v%.1f").mkString(",")}],"host_load_avg_before":$loadBefore%.1f,"host_load_avg_after":$loadAfter%.1f,"flags":[${flags.map("\"" + _ + "\"").mkString(",")}]}"""
       }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

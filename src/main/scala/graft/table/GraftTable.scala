@@ -460,14 +460,37 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
   * _lineage_row) — the (batch, record, result) analog of the reference's
   * order-preserving splice (processor.go:137-256): the pipeline is map-only
   * (no shuffle), so partition-local row order IS source file order, and
-  * `ORDER BY` the triple reconstructs the replay order deterministically. */
+  * `ORDER BY` the triple reconstructs the replay order deterministically.
+  *
+  * `clusterBy` is the partition-layout lever (SURVEY §7.2): rows are
+  * RANGE-partitioned + sorted on the given columns before the write, so
+  * each data file covers a narrow value range and the manifest's min/max
+  * stats make equality/range predicates on those columns prune to few
+  * files — Spark-first "hidden partitioning": the layout lives in the
+  * data + stats (the column stays IN the files, so reads need no
+  * path-derived columns), not in directory names. `clusterFiles` pins the
+  * file count (AQE otherwise sizes — and may coalesce — the ranges).
+  * Note: clusterBy introduces one shuffle per micro-batch; leave it empty
+  * for strictly map-only sinks (lineage row order is per-FILE after
+  * clustering, not source order). */
 final class ExactlyOnceSink(table: GraftTable,
                             metrics: Long => Map[String, Long] = _ => Map.empty,
-                            lineage: Boolean = false) {
+                            lineage: Boolean = false,
+                            clusterBy: Seq[String] = Nil,
+                            clusterFiles: Option[Int] = None) {
   def write(df: DataFrame, batchId: Long): Unit = {
+    val clustered =
+      if (clusterBy.isEmpty) df
+      else {
+        val cols = clusterBy.map(col)
+        (clusterFiles match {
+          case Some(n) => df.repartitionByRange(n, cols: _*)
+          case None => df.repartitionByRange(cols: _*)
+        }).sortWithinPartitions(cols: _*)
+      }
     val out =
-      if (!lineage) df
-      else df
+      if (!lineage) clustered
+      else clustered
         .withColumn("_lineage_batch", lit(batchId))
         .withColumn("_lineage_part", spark_partition_id().cast("long"))
         // low 33 bits of monotonically_increasing_id = per-partition counter

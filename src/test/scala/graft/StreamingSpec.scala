@@ -771,6 +771,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.filter(col("id") > 10000L).rdd.getNumPartitions == 0)
   }
 
+  test("clusterBy layout: value-clustered files prune equality predicates tightly") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_cluster").toString)
+    val sink = new ExactlyOnceSink(t, clusterBy = Seq("codec"), clusterFiles = Some(3))
+    // interleaved codecs: without clustering, every file spans all three
+    val df = (0 until 3000).map(i =>
+      (i.toLong, Seq("pcm_s16le", "wav", "opus-stub")(i % 3))).toDF("id", "codec")
+      .repartition(6) // scatter values across partitions first
+    sink.write(df, 0L)
+    val read = s.read.format(classOf[graft.table.GraftSourceProvider].getName).load(t.root)
+    val all = read.rdd.getNumPartitions
+    val wav = read.filter(col("codec") === "wav")
+    assert(wav.rdd.getNumPartitions < all,
+      s"clustered layout should prune codec='wav' below $all files")
+    assert(wav.count() == 1000)
+  }
+
   test("V2 source: byte budget bounds each micro-batch regardless of file skew") {
     val s = spark
     import s.implicits._
