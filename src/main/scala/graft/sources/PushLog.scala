@@ -46,11 +46,15 @@ object PushLog {
 
   /** Streaming raw lines pushed to the receiver bound to `walDir`. */
   def readLines(spark: SparkSession, walDir: String, port: Int = 0,
-                maxRowsPerTrigger: Option[Long] = None): DataFrame = {
+                maxRowsPerTrigger: Option[Long] = None,
+                segmentBytes: Option[Long] = None,
+                reclaimOnCommit: Boolean = false): DataFrame = {
     val r = spark.readStream.format(classOf[GraftPushProvider].getName)
       .option("wal", walDir)
       .option("port", port)
+      .option("reclaimOnCommit", reclaimOnCommit)
     maxRowsPerTrigger.foreach(m => r.option("maxRowsPerTrigger", m))
+    segmentBytes.foreach(b => r.option("segmentBytes", b))
     r.load()
   }
 
@@ -64,30 +68,66 @@ object PushLog {
   * visible to offsets only AFTER it is flushed to the WAL (durable
   * receipt).
   *
-  * Restart recovery scans the WAL ONCE: the line count and a sparse
-  * line→byte index are rebuilt, and a trailing PARTIAL line (a crash
-  * between buffer flush boundaries) is truncated away — it was never
-  * visible to offsets, and appending onto it would merge two records.
+  * The WAL is SEGMENTED: lines append to `push.<startLine>.wal`, where
+  * `<startLine>` is the global line number of the segment's first line,
+  * and the appender rolls to a fresh segment once the active one exceeds
+  * `segmentBytes`. Global line-count offsets are unaffected by rotation —
+  * a segment's name states exactly which offset range it holds, so:
   *
-  * The index (byte offset of every `IndexEvery`-th line) lets a
-  * micro-batch reader seek near its start offset instead of re-reading
-  * the whole WAL per trigger (O(WAL) per trigger → O(n²) cumulative on a
-  * long-lived stream). Retention: the WAL is append-only for the life of
-  * the receiver; rotate by draining a stream to its checkpointed end,
-  * then starting a fresh receiver on a new WAL directory (the same
-  * epoch-style rotation any file-backed receiver uses). */
-final class PushReceiver private (val walDir: String, requestedPort: Int) {
-  private val walPath: Path = Paths.get(walDir, "push.wal")
+  *  - restart recovery scans ONLY the active (last) segment: earlier
+  *    segments' line counts are differences of consecutive filename
+  *    startLines — recovery work is bounded by `segmentBytes`, not WAL
+  *    lifetime. A trailing PARTIAL line in the active segment (a crash
+  *    between buffer flush boundaries) is truncated away — it was never
+  *    visible to offsets, and appending onto it would merge two records;
+  *  - retention is segment deletion: [[PushReceiver.reclaim]] drops every
+  *    segment whose line range lies entirely below a consumed offset
+  *    (Kafka-style log retention). `reclaimOnCommit` wires it to the
+  *    stream's checkpoint commit for single-reader deployments; with
+  *    multiple readers, reclaim explicitly at the minimum committed
+  *    offset across readers.
+  *
+  * A sparse line→byte index over the ACTIVE segment lets a micro-batch
+  * reader seek near its start offset; readers landing in a sealed segment
+  * start at that segment's head and skip forward — bounded by
+  * `segmentBytes`, never O(WAL). */
+final class PushReceiver private (val walDir: String, requestedPort: Int,
+                                  segmentBytes: Long) {
   Files.createDirectories(Paths.get(walDir))
 
-  private val IndexEvery = 1024
-  // index(k) = byte offset where line number k*IndexEvery starts
-  private val index = scala.collection.mutable.ArrayBuffer[Long](0L)
-  @volatile private var lineCount: Long = 0L
-  private var bytePos: Long = 0L
+  private def segPath(startLine: Long): Path =
+    Paths.get(walDir, f"push.$startLine%020d.wal")
 
-  if (Files.exists(walPath)) {
-    val in = new java.io.BufferedInputStream(Files.newInputStream(walPath))
+  // legacy single-file layout → segment starting at line 0
+  private val legacy = Paths.get(walDir, "push.wal")
+  if (Files.exists(legacy)) Files.move(legacy, segPath(0L))
+
+  /** (startLine, path) per live segment, ascending; last = active. */
+  private val segments: scala.collection.mutable.ArrayBuffer[(Long, Path)] = {
+    val listing = Files.list(Paths.get(walDir))
+    val found =
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("push\\.\\d{20}\\.wal"))
+        .map(p => (p.getFileName.toString.stripPrefix("push.").stripSuffix(".wal").toLong, p))
+        .toBuffer.sortBy((t: (Long, Path)) => t._1)
+      finally listing.close()
+    scala.collection.mutable.ArrayBuffer(found.toSeq: _*)
+  }
+
+  private val IndexEvery = 1024
+  // activeIndex(k) = byte offset (within the active segment) where the
+  // k-th indexed line of that segment starts; line numbers are global.
+  private val activeIndex = scala.collection.mutable.ArrayBuffer[Long](0L)
+  @volatile private var lineCount: Long = 0L
+  private var bytePos: Long = 0L // within the active segment
+
+  if (segments.isEmpty) segments += ((0L, segPath(0L)))
+  private var activeStart: Long = segments.last._1
+  lineCount = activeStart
+
+  // recovery: scan ONLY the active segment (bounded by segmentBytes)
+  if (Files.exists(segments.last._2)) {
+    val in = new java.io.BufferedInputStream(Files.newInputStream(segments.last._2))
     val total =
       try {
         var lastNl = 0L
@@ -98,7 +138,7 @@ final class PushReceiver private (val walDir: String, requestedPort: Int) {
           if (b == '\n') {
             lastNl = pos
             lineCount += 1
-            if (lineCount % IndexEvery == 0) index += lastNl
+            if ((lineCount - activeStart) % IndexEvery == 0) activeIndex += lastNl
           }
           b = in.read()
         }
@@ -106,25 +146,70 @@ final class PushReceiver private (val walDir: String, requestedPort: Int) {
         pos
       } finally in.close()
     if (total != bytePos) { // trailing partial line: never acknowledged
-      val ch = java.nio.channels.FileChannel.open(walPath, StandardOpenOption.WRITE)
+      val ch = java.nio.channels.FileChannel.open(segments.last._2, StandardOpenOption.WRITE)
       try ch.truncate(bytePos) finally ch.close()
     }
   }
 
   private val server = new ServerSocket(requestedPort)
-  private val out = Files.newOutputStream(walPath,
+  private var out = Files.newOutputStream(segments.last._2,
     StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   @volatile private var closed = false
 
   def port: Int = server.getLocalPort
   def count: Long = lineCount
-  def wal: Path = walPath
 
-  /** (byteOffset, lineNumber) of the nearest indexed line ≤ `line` — the
-    * reader seeks there and skips at most IndexEvery-1 lines. */
-  def seekFor(line: Long): (Long, Long) = synchronized {
-    val k = math.min(line / IndexEvery, (index.size - 1).toLong).toInt
-    (index(k), k.toLong * IndexEvery)
+  /** Earliest line still on disk (0 until a reclaim deletes segments). */
+  def firstRetainedLine: Long = synchronized(segments.head._1)
+
+  /** Live segments as (startLine, path) ascending — snapshot for planning. */
+  def segmentList: Seq[(Long, String)] =
+    synchronized(segments.map { case (s, p) => (s, p.toString) }.toSeq)
+
+  /** Seek hint for a reader starting at global line `line`:
+    * (segmentPath, byteOffset, lineAtOffset). Active segment → sparse
+    * index; sealed segment → its head (skip bounded by segmentBytes). */
+  def seekFor(line: Long): (String, Long, Long) = synchronized {
+    require(line >= segments.head._1,
+      s"offset $line below the retained floor ${segments.head._1} — reclaimed by retention")
+    if (line >= activeStart) {
+      val k = math.min((line - activeStart) / IndexEvery, (activeIndex.size - 1).toLong).toInt
+      (segments.last._2.toString, activeIndex(k), activeStart + k.toLong * IndexEvery)
+    } else {
+      // last segment whose startLine <= line
+      val seg = segments.takeWhile(_._1 <= line).last
+      (seg._2.toString, 0L, seg._1)
+    }
+  }
+
+  /** Drop every segment whose whole line range is below `upToLine`
+    * (exclusive). Never touches the active segment. Returns the number of
+    * segments deleted. Only reclaim below an offset durably committed by
+    * every reader — lines below it become unreadable. */
+  def reclaim(upToLine: Long): Int = synchronized {
+    var removed = 0
+    // a segment's end = next segment's start; active segment never drops
+    while (segments.size > 1 && segments(1)._1 <= upToLine) {
+      Files.deleteIfExists(segments.head._2)
+      segments.remove(0)
+      removed += 1
+    }
+    removed
+  }
+
+  private def rollIfNeeded(incomingBytes: Long): Unit = {
+    // roll BEFORE the write: the active segment never exceeds the budget
+    // by more than one line, and a segment always holds >= 1 line
+    if (bytePos > 0 && bytePos + incomingBytes > segmentBytes) {
+      out.close()
+      activeStart = lineCount
+      segments += ((activeStart, segPath(activeStart)))
+      out = Files.newOutputStream(segments.last._2,
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      bytePos = 0L
+      activeIndex.clear()
+      activeIndex += 0L
+    }
   }
 
   private def handle(sock: Socket): Unit = {
@@ -135,10 +220,11 @@ final class PushReceiver private (val walDir: String, requestedPort: Int) {
       while (line != null) {
         val bytes = line.getBytes(StandardCharsets.UTF_8)
         synchronized {
+          rollIfNeeded(bytes.length + 1L)
           out.write(bytes); out.write('\n'); out.flush()
           bytePos += bytes.length + 1
           lineCount += 1
-          if (lineCount % IndexEvery == 0) index += bytePos
+          if ((lineCount - activeStart) % IndexEvery == 0) activeIndex += bytePos
         }
         line = br.readLine()
       }
@@ -165,9 +251,13 @@ final class PushReceiver private (val walDir: String, requestedPort: Int) {
 object PushReceiver {
   private val active = scala.collection.concurrent.TrieMap.empty[String, PushReceiver]
 
+  /** No-rotation default: one segment for the receiver's lifetime. */
+  val NoSegmentLimit: Long = Long.MaxValue
+
   /** The receiver for `walDir`, starting it on first use. */
-  def ensure(walDir: String, port: Int): PushReceiver =
-    active.getOrElseUpdate(walDir, new PushReceiver(walDir, port))
+  def ensure(walDir: String, port: Int,
+             segmentBytes: Long = NoSegmentLimit): PushReceiver =
+    active.getOrElseUpdate(walDir, new PushReceiver(walDir, port, segmentBytes))
 
   /** Bound port of the receiver on `walDir` (ephemeral ports: port=0). */
   def boundPort(walDir: String): Option[Int] = active.get(walDir).map(_.port)
@@ -184,11 +274,15 @@ class GraftPushProvider extends TableProvider {
     require(wal != null && wal.nonEmpty, "graft-push source requires a 'wal' directory option")
     new GraftPushTable(wal,
       Option(properties.get("port")).map(_.toInt).getOrElse(0),
-      Option(properties.get("maxRowsPerTrigger")).map(_.toLong))
+      Option(properties.get("maxRowsPerTrigger")).map(_.toLong),
+      Option(properties.get("segmentBytes")).map(_.toLong)
+        .getOrElse(PushReceiver.NoSegmentLimit),
+      Option(properties.get("reclaimOnCommit")).exists(_.toBoolean))
   }
 }
 
-final class GraftPushTable(walDir: String, port: Int, maxRows: Option[Long])
+final class GraftPushTable(walDir: String, port: Int, maxRows: Option[Long],
+                           segmentBytes: Long, reclaimOnCommit: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"graft-push($walDir)"
   override def schema(): StructType = PushLog.schema
@@ -200,13 +294,16 @@ final class GraftPushTable(walDir: String, port: Int, maxRows: Option[Long])
       override def description(): String = s"graft-push scan of $walDir"
       // batch form: everything durably received so far (backfill/testing)
       override def toBatch: Batch = new Batch {
-        private val rcv = PushReceiver.ensure(walDir, port)
-        override def planInputPartitions(): Array[InputPartition] =
-          Array(PushInputPartition(rcv.wal.toString, 0L, rcv.count, 0L, 0L))
+        private val rcv = PushReceiver.ensure(walDir, port, segmentBytes)
+        override def planInputPartitions(): Array[InputPartition] = {
+          val from = rcv.firstRetainedLine
+          val (path, pos, line) = rcv.seekFor(from)
+          Array(PushInputPartition(rcv.segmentList, from, rcv.count, path, pos, line))
+        }
         override def createReaderFactory(): PartitionReaderFactory = new PushReaderFactory
       }
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new GraftPushMicroBatchStream(walDir, port, maxRows)
+        new GraftPushMicroBatchStream(walDir, port, maxRows, segmentBytes, reclaimOnCommit)
     }
 }
 
@@ -215,12 +312,13 @@ case class PushOffset(lines: Long) extends Offset {
   override def json(): String = lines.toString
 }
 
-final class GraftPushMicroBatchStream(walDir: String, port: Int, maxRows: Option[Long])
+final class GraftPushMicroBatchStream(walDir: String, port: Int, maxRows: Option[Long],
+                                      segmentBytes: Long, reclaimOnCommit: Boolean)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  private val receiver = PushReceiver.ensure(walDir, port)
+  private val receiver = PushReceiver.ensure(walDir, port, segmentBytes)
 
-  override def initialOffset(): Offset = PushOffset(0L)
+  override def initialOffset(): Offset = PushOffset(receiver.firstRetainedLine)
   override def deserializeOffset(json: String): Offset = PushOffset(json.trim.toLong)
   override def latestOffset(): Offset = PushOffset(receiver.count)
   override def reportLatestOffset(): Offset = PushOffset(receiver.count)
@@ -242,46 +340,75 @@ final class GraftPushMicroBatchStream(walDir: String, port: Int, maxRows: Option
     val to = end.asInstanceOf[PushOffset].lines
     if (to <= from) Array.empty
     else {
-      val (seekPos, seekLine) = receiver.seekFor(from)
-      Array(PushInputPartition(receiver.wal.toString, from, to, seekPos, seekLine))
+      val (path, pos, line) = receiver.seekFor(from)
+      Array(PushInputPartition(receiver.segmentList, from, to, path, pos, line))
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new PushReaderFactory
-  override def commit(end: Offset): Unit = ()
+  /** Checkpoint commit: with `reclaimOnCommit`, offsets below the commit
+    * are durably recorded in the stream's checkpoint, so their segments
+    * can drop — single-reader log retention with zero extra wiring. */
+  override def commit(end: Offset): Unit =
+    if (reclaimOnCommit) { receiver.reclaim(end.asInstanceOf[PushOffset].lines); () }
   override def stop(): Unit = ()
 }
 
-case class PushInputPartition(walPath: String, start: Long, end: Long,
-                              seekPos: Long, seekLine: Long) extends InputPartition
+/** `segments` = (startLine, path) ascending, covering [start, end);
+  * (seekPath, seekPos, seekLine) points at/before `start`. */
+case class PushInputPartition(segments: Seq[(Long, String)], start: Long, end: Long,
+                              seekPath: String, seekPos: Long, seekLine: Long)
+    extends InputPartition
 
 final class PushReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PushInputPartition]
-    new PushPartitionReader(p.walPath, p.start, p.end, p.seekPos, p.seekLine)
+    new PushPartitionReader(p.segments, p.start, p.end, p.seekPath, p.seekPos, p.seekLine)
   }
 }
 
-/** Reads WAL lines [start, end). The WAL is append-only, so a replayed
-  * range returns bit-identical lines; the (seekPos, seekLine) hint from
-  * the receiver's sparse index bounds the skip to < IndexEvery lines
-  * instead of re-reading the whole WAL. */
-final class PushPartitionReader(walPath: String, start: Long, end: Long,
-                                seekPos: Long, seekLine: Long)
+/** Reads WAL lines [start, end) across segment files. Segments are sealed
+  * once rotated and the active one is append-only, so a replayed range
+  * returns bit-identical lines; the (seekPath, seekPos, seekLine) hint
+  * bounds the initial skip (< IndexEvery lines in the active segment, or
+  * one sealed segment's worth) instead of re-reading the whole WAL. */
+final class PushPartitionReader(segments: Seq[(Long, String)], start: Long, end: Long,
+                                seekPath: String, seekPos: Long, seekLine: Long)
     extends PartitionReader[InternalRow] {
-  private val ch = java.nio.channels.FileChannel.open(
-    Paths.get(walPath), StandardOpenOption.READ)
-  ch.position(seekPos)
-  private val br = new java.io.BufferedReader(new java.io.InputStreamReader(
-    java.nio.channels.Channels.newInputStream(ch), StandardCharsets.UTF_8))
+  // segment files at/after the seek target, in order
+  private val files: Iterator[(Long, String)] =
+    segments.dropWhile(_._2 != seekPath).iterator
+  private var br: java.io.BufferedReader = _
   private var idx = seekLine
-  while (idx < start && br.readLine() != null) idx += 1
+
+  private def openNext(pos: Long): Boolean =
+    if (!files.hasNext) false
+    else {
+      if (br != null) br.close()
+      val (_, path) = files.next()
+      val ch = java.nio.channels.FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+      ch.position(pos)
+      br = new java.io.BufferedReader(new java.io.InputStreamReader(
+        java.nio.channels.Channels.newInputStream(ch), StandardCharsets.UTF_8))
+      true
+    }
+
+  openNext(seekPos)
+  while (idx < start && readLine() != null) idx += 1
   private var current: String = _
+
+  /** Next line across the segment chain (null only at true end-of-WAL). */
+  private def readLine(): String = {
+    if (br == null) return null
+    var l = br.readLine()
+    while (l == null && openNext(0L)) l = br.readLine()
+    l
+  }
 
   override def next(): Boolean =
     if (idx >= end) false
     else {
-      current = br.readLine()
+      current = readLine()
       idx += 1
       current != null
     }
@@ -289,5 +416,5 @@ final class PushPartitionReader(walPath: String, start: Long, end: Long,
   override def get(): InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString(current)))
 
-  override def close(): Unit = br.close()
+  override def close(): Unit = if (br != null) br.close()
 }

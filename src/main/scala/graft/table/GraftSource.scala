@@ -15,7 +15,9 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
@@ -62,10 +64,15 @@ class GraftSourceProvider extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val table = new GraftTable(rootOf(options))
-    val files = table.dataFiles
-    require(files.nonEmpty,
-      s"cannot infer schema: no committed data files in ${rootOf(options)}")
-    SparkSession.active.read.parquet(files.head).schema
+    // table metadata first: under a partition layout the data files do not
+    // contain the partition columns, so file-based inference would lose
+    // them (and their types)
+    table.schemaOf.getOrElse {
+      val files = table.dataFiles
+      require(files.nonEmpty,
+        s"cannot infer schema: no committed data files in ${rootOf(options)}")
+      SparkSession.active.read.parquet(files.head).schema
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -183,8 +190,9 @@ final class GraftV2Table(root: String, tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownFilters {
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
       private var pushed: Array[Filter] = Array.empty
+      private var required: StructType = tableSchema
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         pushed = filters.filter(FilePrune.prunable)
         // file-level stats pruning is never exact: EVERY filter must still
@@ -192,31 +200,131 @@ final class GraftV2Table(root: String, tableSchema: StructType)
         filters
       }
       override def pushedFilters(): Array[Filter] = pushed
-      override def build(): Scan = new GraftScan(root, tableSchema,
+      // column pruning: a projection of k columns decodes k columns — the
+      // pruned schema reaches the parquet readers as a projection, so at
+      // 100 TB a SELECT clip_id never pays for transcript/bytes I/O
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new GraftScan(root, required,
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
         Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-        pushed.toSeq)
+        pushed.toSeq,
+        // layout columns for storage-partitioned reads: explicit option
+        // wins, else the layout the sink declared on the table
+        Option(options.get("layout")) match {
+          case Some(l) => l.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          case None =>
+            val t = new GraftTable(root)
+            if (t.layout.nonEmpty) t.layout else t.partCols
+        },
+        Option(options.get("version")).map(_.toLong))
     }
 }
 
 final class GraftScan(root: String, schema: StructType,
                       maxFilesPerTrigger: Option[Int],
                       maxBytesPerTrigger: Option[Long],
-                      filters: Seq[Filter])
-    extends Scan {
+                      filters: Seq[Filter],
+                      layout: Seq[String] = Nil,
+                      asOfVersion: Option[Long] = None)
+    extends Scan with SupportsReportStatistics with SupportsReportPartitioning {
   override def readSchema(): StructType = schema
   override def description(): String =
-    s"graft-table scan of $root, PushedFilters: [${filters.mkString(", ")}]"
+    s"graft-table scan of $root, PushedFilters: [${filters.mkString(", ")}], " +
+      s"ReadSchema: ${schema.map(_.name).mkString(",")}"
+
+  // rows > 0: an empty range partition writes a row-less file whose footer
+  // has no stats — planning it adds a no-op task and (worse) withdraws the
+  // storage-partitioned single-value claim for the whole scan
+  private def liveFiles(table: GraftTable): Seq[FileInfo] =
+    table.manifestsUpTo(asOfVersion.getOrElse(table.version))
+      .flatMap(table.manifestFiles)
+      .filter(fi => fi.rows > 0 && FilePrune.keep(fi, filters))
+
+  /** Post-pruning size/row estimate from manifest metadata — zero data
+    * I/O. Catalyst's join planning sees it through the V2 relation, so a
+    * small (or heavily pruned) graft table auto-broadcasts instead of
+    * shuffling the big side; same convention as Spark's own file sources
+    * (on-disk bytes × spark.sql.sources.fileCompressionFactor, applied by
+    * the caller). */
+  override def estimateStatistics(): Statistics = {
+    val table = new GraftTable(root)
+    val fs = liveFiles(table)
+    val bytes = fs.map(_.bytes).sum
+    val rows = fs.map(_.rows).sum
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+    }
+  }
+
+  // ---- storage-partitioned reads over the clusterBy layout -----------
+  // A value-clustered table's files are each single-valued on the layout
+  // columns; when the manifests PROVE that (min == max and an exact ZERO
+  // null count — parquet bounds never cover nulls — for every selected
+  // file), the scan reports KeyGroupedPartitioning and Spark plans
+  // groupBy/join on those keys WITHOUT a shuffle (enable
+  // spark.sql.sources.v2.bucketing.enabled; Spark groups same-key files
+  // into one partition). Any non-conforming file — pre-layout history,
+  // missing stats, unsupported type — degrades the whole scan to unknown
+  // partitioning: a plain scan, never a wrong answer.
+
+  /** Typed Catalyst partition-key value for one layout column, or None if
+    * this file cannot prove single-valuedness for it. */
+  private def keyValue(fi: FileInfo, colName: String, dt: DataType): Option[Any] =
+    fi.stats.get(colName).filter(s => s.nulls == 0L && s.min == s.max).flatMap { s =>
+      try {
+        (s.typ, dt) match {
+          case ("string", StringType) => Some(UTF8String.fromString(s.min))
+          case ("long", LongType) => Some(java.lang.Long.valueOf(s.min.toLong))
+          case ("long", IntegerType) => Some(java.lang.Integer.valueOf(s.min.toInt))
+          case ("long", ShortType) => Some(java.lang.Short.valueOf(s.min.toShort))
+          case ("long", ByteType) => Some(java.lang.Byte.valueOf(s.min.toByte))
+          case ("long", TimestampType | TimestampNTZType) =>
+            Some(java.lang.Long.valueOf(s.min.toLong))
+          case ("long", DateType) => Some(java.lang.Integer.valueOf(s.min.toInt))
+          // doubles excluded: NaN/-0.0 equality diverges between stats
+          // order and Spark key grouping — never worth the risk
+          case _ => None
+        }
+      } catch { case _: NumberFormatException => None }
+    }
+
+  private def layoutTypes: Option[Seq[DataType]] =
+    if (layout.isEmpty) None
+    else {
+      val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+      val ts = layout.map(byName.get)
+      if (ts.forall(_.isDefined)) Some(ts.map(_.get)) else None
+    }
+
+  private def fileKey(fi: FileInfo, types: Seq[DataType]): Option[Array[Any]] = {
+    val vs = layout.zip(types).map { case (c, t) => keyValue(fi, c, t) }
+    if (vs.forall(_.isDefined)) Some(vs.map(_.get).toArray) else None
+  }
+
+  override def outputPartitioning(): Partitioning = {
+    val fs = liveFiles(new GraftTable(root))
+    layoutTypes.filter(ts => fs.nonEmpty && fs.forall(fileKey(_, ts).isDefined)) match {
+      case Some(_) =>
+        new KeyGroupedPartitioning(
+          layout.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray,
+          fs.size)
+      case None => new UnknownPartitioning(fs.size)
+    }
+  }
 
   override def toBatch: Batch = new Batch {
     private val table = new GraftTable(root)
     override def planInputPartitions(): Array[InputPartition] = {
-      val v = table.version
-      table.manifestsUpTo(v)
-        .flatMap(table.manifestFiles)
-        .filter(FilePrune.keep(_, filters))
-        .map(fi => GraftInputPartition(fi.path, fi.rows))
-        .toArray
+      val fs = liveFiles(table)
+      layoutTypes.filter(ts => fs.nonEmpty && fs.forall(fileKey(_, ts).isDefined)) match {
+        case Some(ts) =>
+          fs.map(fi => GraftKeyedInputPartition(fi.path, fi.rows, fileKey(fi, ts).get, fi.pv)
+            : InputPartition).toArray
+        case None =>
+          fs.map(fi => GraftInputPartition(fi.path, fi.rows, fi.pv): InputPartition).toArray
+      }
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftReaderFactory(schema)
@@ -335,7 +443,7 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
     val firstLive = firstLiveVersion(from, to)
     (from + 1 to to)
       .flatMap(versionFiles(_, from, chain, firstLive))
-      .map(fi => GraftInputPartition(fi.path, fi.rows))
+      .map(fi => GraftInputPartition(fi.path, fi.rows, fi.pv))
       .toArray
   }
 
@@ -346,11 +454,39 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
   override def stop(): Unit = ()
 }
 
-case class GraftInputPartition(path: String, rows: Long) extends InputPartition
+/** `pv` = directory-encoded partition values (absent from the data file;
+  * the reader re-injects them as constants). */
+case class GraftInputPartition(path: String, rows: Long,
+                               pv: Map[String, Option[String]] = Map.empty)
+    extends InputPartition
+
+/** A file provably single-valued on the scan's layout columns; `key`
+  * holds the Catalyst-internal values in layout order. */
+case class GraftKeyedInputPartition(path: String, rows: Long, key: Array[Any],
+                                    pv: Map[String, Option[String]] = Map.empty)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(key)
+}
 
 final class GraftReaderFactory(schema: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition].path, schema)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition match {
+      case g: GraftInputPartition => g
+      case k: GraftKeyedInputPartition => GraftInputPartition(k.path, k.rows, k.pv)
+    }
+    if (schema.isEmpty)
+      // zero-column projection (e.g. COUNT(*)): the manifest row count is
+      // authoritative (the commit counted the rows) — emit empty rows
+      // without touching the data file at all
+      new PartitionReader[InternalRow] {
+        private var emitted = 0L
+        private val empty = new GenericInternalRow(Array.empty[Any])
+        override def next(): Boolean = { emitted += 1; emitted <= p.rows }
+        override def get(): InternalRow = empty
+        override def close(): Unit = ()
+      }
+    else new GraftPartitionReader(p.path, schema, p.pv)
+  }
 }
 
 /** Reads one manifest-listed parquet file into InternalRows via the public
@@ -359,13 +495,46 @@ final class GraftReaderFactory(schema: StructType) extends PartitionReaderFactor
   * columns: array<...>, map<...,...>, struct<...> — recursively (the E3
   * typed-attr bag is array<struct<...>>), so any event schema the sink can
   * write round-trips through the table's own change stream. */
-final class GraftPartitionReader(path: String, schema: StructType)
+final class GraftPartitionReader(path: String, schema: StructType,
+                                 pv: Map[String, Option[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
 
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(path))
-      .withConf(new Configuration())
+  /** Catalyst-internal constant for a directory-encoded partition value
+    * (commit validates partition columns against exactly this type set). */
+  private def pvConstant(dt: DataType, ov: Option[String]): Any = ov match {
+    case None => null
+    case Some(v) => dt match {
+      case StringType => UTF8String.fromString(v)
+      case IntegerType => java.lang.Integer.valueOf(v.toInt)
+      case LongType => java.lang.Long.valueOf(v.toLong)
+      case ShortType => java.lang.Short.valueOf(v.toShort)
+      case ByteType => java.lang.Byte.valueOf(v.toByte)
+      case BooleanType => java.lang.Boolean.valueOf(v.toBoolean)
+      case DateType => java.lang.Integer.valueOf(java.time.LocalDate.parse(v).toEpochDay.toInt)
+      case other => throw new UnsupportedOperationException(
+        s"partition value of type ${other.simpleString} cannot be re-injected")
+    }
+  }
+
+  private val reader: ParquetReader[Group] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val conf = new Configuration()
+    // physical column projection: give parquet-mr only the required fields
+    // of the FILE's schema (footer metadata read — no data pages), so
+    // unprojected columns' pages are never read or decoded. A 2-column
+    // SELECT over a wide 100 TB table does 2 columns of I/O.
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
+    val fileType = try footer.getFileMetaData.getSchema finally footer.close()
+    val names = schema.fields.map(_.name).toSet
+    val kept = fileType.getFields.asScala.filter(f => names.contains(f.getName))
+    if (kept.size < fileType.getFieldCount && kept.nonEmpty)
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        new org.apache.parquet.schema.MessageType(fileType.getName, kept.asJava).toString)
+    ParquetReader.builder(new GroupReadSupport(), hPath)
+      .withConf(conf)
       .build()
+  }
 
   private var current: Group = _
   // per-field converters, resolved lazily against the file schema of the
@@ -478,7 +647,12 @@ final class GraftPartitionReader(path: String, schema: StructType)
 
   private def buildConverters(fileType: GroupType): Array[Group => Any] =
     schema.fields.map { f =>
-      if (!fileType.containsField(f.name)) { (_: Group) => null }
+      if (!fileType.containsField(f.name)) {
+        // directory-encoded partition column → per-file constant;
+        // genuinely absent column (schema evolution) → null
+        val const = pv.get(f.name).map(pvConstant(f.dataType, _)).orNull
+        (_: Group) => const
+      }
       else {
         val idx = fileType.getFieldIndex(f.name)
         val get = valueGetter(fileType.getType(idx), f.dataType, f.name)

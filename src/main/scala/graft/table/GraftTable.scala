@@ -12,12 +12,23 @@ import scala.jdk.CollectionConverters._
   * timestamps as epoch micros), "double" (float/double), "string" (UTF8
   * binary). min/max are canonical strings so manifest JSON stays
   * precision-exact. */
-final case class ColStats(typ: String, min: String, max: String)
+/** `nulls` = exact null count for the column in the file, or -1 when any
+  * chunk's footer left it unset (unknown). min/max never cover nulls, so
+  * consumers that need "every row is inside [min,max]" (e.g. the
+  * storage-partitioned single-value claim) must require nulls == 0. */
+final case class ColStats(typ: String, min: String, max: String, nulls: Long = -1L)
 
 /** One manifest-listed data file: path, exact row count, on-disk bytes
-  * (byte-based admission control), and column stats (file pruning). */
+  * (byte-based admission control), column stats (file pruning), and — for
+  * files written under a partition layout — the partition values encoded
+  * in the file's directory path (`pv`; None = the null partition). The
+  * partition columns are NOT stored in the file; readers re-inject them as
+  * constants, and commit synthesizes exact stats (min = max = value,
+  * nulls = 0) so pruning and storage-partitioned scans see them like any
+  * other column. */
 final case class FileInfo(path: String, rows: Long, bytes: Long,
-                          stats: Map[String, ColStats])
+                          stats: Map[String, ColStats],
+                          pv: Map[String, Option[String]] = Map.empty)
 
 /** Parsed manifest content (cached — manifests are immutable once written). */
 final case class ManifestData(batchIds: Seq[Long], replacesUpTo: Option[Long],
@@ -61,6 +72,43 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
   def version: Long =
     if (Files.exists(p("VERSION"))) new String(Files.readAllBytes(p("VERSION")), StandardCharsets.UTF_8).trim.toLong
     else 0L
+
+  /** Declared cluster-layout columns (see [[ExactlyOnceSink]] `clusterBy`):
+    * a hint that data files are value-clustered on these columns. Purely
+    * advisory — correctness never depends on it (readers re-check per-file
+    * single-valuedness from manifest stats before exploiting it). */
+  def layout: Seq[String] =
+    if (!Files.exists(p("LAYOUT"))) Nil
+    else new String(Files.readAllBytes(p("LAYOUT")), StandardCharsets.UTF_8)
+      .trim.split(",").toSeq.filter(_.nonEmpty)
+
+  def setLayout(cols: Seq[String]): Unit = synchronized {
+    if (layout != cols) writeAtomic(p("LAYOUT"), cols.mkString(","))
+  }
+
+  /** Table schema from metadata (written at every commit). Authoritative
+    * for partition-layout tables, whose data files do NOT contain the
+    * partition columns — inferring from a file would lose them. */
+  def schemaOf: Option[org.apache.spark.sql.types.StructType] =
+    if (!Files.exists(p("SCHEMA"))) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      new String(Files.readAllBytes(p("SCHEMA")), StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** True if any live file carries directory-encoded partition values —
+    * such files must be read through the V2 source (constant injection). */
+  def hasPartitionLayout: Boolean = synchronized {
+    snapshotManifests(version).exists(m => manifest(m).files.exists(_.pv.nonEmpty))
+  }
+
+  /** Declared directory-partition columns (recorded by the first
+    * partitioned commit): unlike the advisory [[layout]], these are
+    * guaranteed single-valued per file and low-cardinality by
+    * construction — compact() preserves this layout on rewrite. */
+  def partCols: Seq[String] =
+    if (!Files.exists(p("PARTCOLS"))) Nil
+    else new String(Files.readAllBytes(p("PARTCOLS")), StandardCharsets.UTF_8)
+      .trim.split(",").toSeq.filter(_.nonEmpty)
 
   // ---- metadata caches -----------------------------------------------
   // Manifests and snapshot nodes are immutable once written, so parsed
@@ -111,10 +159,16 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
           if (!f.has("stats")) Map.empty[String, ColStats]
           else f.get("stats").properties().asScala.map { e =>
             val s = e.getValue
-            e.getKey -> ColStats(s.get("t").asText(), s.get("min").asText(), s.get("max").asText())
+            e.getKey -> ColStats(s.get("t").asText(), s.get("min").asText(), s.get("max").asText(),
+              if (s.has("nulls")) s.get("nulls").asLong() else -1L)
+          }.toMap
+        val pv =
+          if (!f.has("pv")) Map.empty[String, Option[String]]
+          else f.get("pv").properties().asScala.map { e =>
+            e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
           }.toMap
         FileInfo(f.get("path").asText(), f.get("rows").asLong(),
-          if (f.has("bytes")) f.get("bytes").asLong() else 0L, stats)
+          if (f.has("bytes")) f.get("bytes").asLong() else 0L, stats, pv)
       }.toSeq
       ManifestData(batchIds, replaces, node.get("rows").asLong(), files)
     })
@@ -204,13 +258,20 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
   def read(spark: SparkSession): DataFrame = readVersion(spark, version)
 
   /** Time travel: read the table exactly as of snapshot `v` (snapshots are
-    * immutable manifest lists, so any historical version stays readable). */
+    * immutable manifest lists, so any historical version stays readable).
+    * Partition-layout snapshots route through the V2 source, which
+    * re-injects the directory-encoded partition columns. */
   def readVersion(spark: SparkSession, v: Long): DataFrame = {
     require(v >= 0 && v <= version, s"snapshot v$v does not exist (latest: v$version)")
-    val files = synchronized {
-      snapshotManifests(v).flatMap(m => manifest(m).files.map(_.path))
+    val (files, partitioned) = synchronized {
+      val ms = snapshotManifests(v)
+      (ms.flatMap(m => manifest(m).files.map(_.path)),
+        ms.exists(m => manifest(m).files.exists(_.pv.nonEmpty)))
     }
     if (files.isEmpty) spark.emptyDataFrame
+    else if (partitioned)
+      spark.read.format(classOf[GraftSourceProvider].getName)
+        .option("version", v).load(root)
     else spark.read.parquet(files: _*)
   }
 
@@ -243,12 +304,21 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val acc = scala.collection.mutable.Map.empty[String, ColStats]
     val dead = scala.collection.mutable.Set.empty[String]
+    // exact per-column null counts (ColStats.nulls): -1 as soon as any
+    // chunk leaves numNulls unset — "unknown" must never read as "zero"
+    val nulls = scala.collection.mutable.Map.empty[String, Long]
     md.getBlocks.asScala.foreach { block =>
       block.getColumns.asScala.foreach { chunk =>
         val pathParts = chunk.getPath.toArray
         if (pathParts.length == 1) {
           val colName = pathParts(0)
           val st = chunk.getStatistics
+          val n = if (st != null && st.isNumNullsSet) st.getNumNulls else -1L
+          nulls(colName) = nulls.get(colName) match {
+            case Some(prev) if prev >= 0L && n >= 0L => prev + n
+            case Some(_) => -1L
+            case None => n
+          }
           val tn = chunk.getPrimitiveType.getPrimitiveTypeName
           val isStr = chunk.getPrimitiveType.getLogicalTypeAnnotation
             .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
@@ -290,44 +360,136 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
         }
       }
     }
-    (acc -- dead).toMap
+    (acc -- dead).map { case (c, s) => c -> s.copy(nulls = nulls.getOrElse(c, -1L)) }.toMap
+  }
+
+  /** Hive-style `%XX` path-name unescape (Spark escapes partition values
+    * with ExternalCatalogUtils.escapePathName on write). */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 && Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Synthetic exact stats for a directory-encoded partition value: every
+    * row in the file has exactly this value, so min = max = value and
+    * nulls = 0 — the same contract footer stats prove for data columns.
+    * Only types whose path rendering round-trips losslessly participate;
+    * others still inject correctly but never prune/key. */
+  private def synthStats(dt: org.apache.spark.sql.types.DataType, v: String): Option[ColStats] = {
+    import org.apache.spark.sql.types._
+    try dt match {
+      case StringType => Some(ColStats("string", v, v, 0L))
+      case IntegerType | LongType | ShortType | ByteType =>
+        Some(ColStats("long", v.toLong.toString, v.toLong.toString, 0L))
+      case DateType =>
+        val d = java.time.LocalDate.parse(v).toEpochDay.toString
+        Some(ColStats("long", d, d, 0L))
+      case _ => None
+    } catch { case _: RuntimeException => None }
   }
 
   /** Per-file lineage + column stats from freshly written parquet FOOTERS —
     * driver-side metadata reads only, no second Spark job over the data.
+    * Walks partition-layout subdirectories (`col=value/...`), decoding the
+    * directory pairs into [[FileInfo.pv]] and synthesizing their stats.
     * The directory stream is CLOSED (Files.list holds an fd until closed;
     * leaking one per commit starves the driver over a long stream). */
-  private def writtenFiles(dataDir: Path, hconf: org.apache.hadoop.conf.Configuration): Array[FileInfo] = {
-    val listing = Files.list(dataDir)
+  private def writtenFiles(dataDir: Path, hconf: org.apache.hadoop.conf.Configuration,
+                           schema: Option[org.apache.spark.sql.types.StructType] = None): Array[FileInfo] = {
+    val walk = Files.walk(dataDir)
     try {
-      listing.iterator().asScala
+      walk.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map { f =>
+          val pv: Seq[(String, Option[String])] =
+            dataDir.relativize(f.getParent).iterator().asScala
+              .map(_.toString).filter(_.contains("="))
+              .map { seg =>
+                val k = seg.substring(0, seg.indexOf('='))
+                val raw = unescapePathName(seg.substring(seg.indexOf('=') + 1))
+                unescapePathName(k) -> (if (raw == HiveNullPartition) None else Some(raw))
+              }.toSeq
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(f.toUri), hconf)
           val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try FileInfo(f.toString, rd.getRecordCount, Files.size(f), footerStats(rd.getFooter))
-          finally rd.close()
+          try {
+            val synthetic = pv.flatMap { case (c, ov) =>
+              for {
+                v <- ov
+                dt <- schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+                st <- synthStats(dt, v)
+              } yield c -> st
+            }.toMap
+            FileInfo(f.toString, rd.getRecordCount, Files.size(f),
+              footerStats(rd.getFooter) ++ synthetic, pv.toMap)
+          } finally rd.close()
         }.toArray.sortBy((x: FileInfo) => x.path)
-    } finally listing.close()
+    } finally walk.close()
   }
 
   private def filesJsonOf(written: Array[FileInfo]): String =
     written.map { fi =>
       val statsJson = fi.stats.toSeq.sortBy(_._1).map { case (c, s) =>
-        s"""${jsonStr(c)}:{"t":${jsonStr(s.typ)},"min":${jsonStr(s.min)},"max":${jsonStr(s.max)}}"""
+        s"""${jsonStr(c)}:{"t":${jsonStr(s.typ)},"min":${jsonStr(s.min)},"max":${jsonStr(s.max)},"nulls":${s.nulls}}"""
       }.mkString("{", ",", "}")
-      s"""{"path":${jsonStr(fi.path)},"rows":${fi.rows},"bytes":${fi.bytes},"stats":$statsJson}"""
+      val pvJson =
+        if (fi.pv.isEmpty) ""
+        else fi.pv.toSeq.sortBy(_._1).map { case (c, ov) =>
+          s"${jsonStr(c)}:${ov.map(jsonStr).getOrElse("null")}"
+        }.mkString(""","pv":{""", ",", "}")
+      s"""{"path":${jsonStr(fi.path)},"rows":${fi.rows},"bytes":${fi.bytes},"stats":$statsJson$pvJson}"""
     }.mkString("[", ",", "]")
 
-  /** Commit one micro-batch. Returns false (no-op) if batchId is already in
-    * the current snapshot. Lineage = per-output-file row counts. */
-  def commit(df: DataFrame, batchId: Long, metrics: Map[String, Long] = Map.empty): Boolean = synchronized {
-    if (committedBatchIds.contains(batchId)) return false
-    val dataDir = p("data", s"batch=$batchId")
-    df.write.mode("overwrite").parquet(dataDir.toString)
+  /** Partition-column types whose `col=value` path rendering round-trips
+    * losslessly through write → dir name → re-injection. */
+  private def partitionable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType | DateType => true
+      case _ => false
+    }
+  }
 
-    val written = writtenFiles(dataDir, df.sparkSession.sessionState.newHadoopConf())
+  /** Commit one micro-batch. Returns false (no-op) if batchId is already in
+    * the current snapshot. Lineage = per-output-file row counts.
+    * `partitionBy` writes a Hive-style directory layout (`col=value/`):
+    * the partition columns live in the path, not the files — manifests
+    * record them per file and readers re-inject them as constants. */
+  def commit(df: DataFrame, batchId: Long, metrics: Map[String, Long] = Map.empty,
+             partitionBy: Seq[String] = Nil): Boolean = synchronized {
+    if (committedBatchIds.contains(batchId)) return false
+    partitionBy.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"partition column $c not in schema"))
+      require(partitionable(f.dataType),
+        s"partition column $c: ${f.dataType.simpleString} does not round-trip " +
+          "through a path segment (use string/int/long/short/byte/boolean/date)")
+    }
+    val dataDir = p("data", s"batch=$batchId")
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dataDir.toString)
+    // table-level schema: authoritative under a partition layout (files
+    // alone cannot reproduce the partition columns or their types)
+    writeAtomic(p("SCHEMA"), df.schema.json)
+    if (partitionBy.nonEmpty && partCols != partitionBy)
+      writeAtomic(p("PARTCOLS"), partitionBy.mkString(","))
+
+    val written = writtenFiles(dataDir, df.sparkSession.sessionState.newHadoopConf(),
+      Some(df.schema))
     val totalRows = written.map(_.rows).sum
     val filesJson = filesJsonOf(written)
     val metricsJson = metrics.toSeq.sortBy(_._1)
@@ -369,10 +531,17 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     require(v > 0, "nothing to compact")
     val batchIds = committedBatchIds
     val dataDir = p("data", s"rewrite=v$v")
-    readVersion(spark, v).repartition(targetFiles)
-      .write.mode("overwrite").parquet(dataDir.toString)
+    val src = readVersion(spark, v)
+    // preserve a declared directory-partition layout through compaction:
+    // rewrite dirs stay value-pure, so pruning / key-grouping survive.
+    // `targetFiles` then applies per partition value (repartition by the
+    // partition cols first would put each value in one writer task).
+    val pc = partCols.filter(src.columns.contains)
+    val rewriter = src.repartition(targetFiles).write.mode("overwrite")
+    (if (pc.nonEmpty) rewriter.partitionBy(pc: _*) else rewriter)
+      .parquet(dataDir.toString)
 
-    val written = writtenFiles(dataDir, spark.sessionState.newHadoopConf())
+    val written = writtenFiles(dataDir, spark.sessionState.newHadoopConf(), Some(src.schema))
     val filesJson = filesJsonOf(written)
     val manifestName = s"manifest-rewrite-v$v.json"
     writeAtomic(p("manifests", manifestName),
@@ -407,15 +576,13 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     var deleted = 0
     val dataRoot = p("data")
     if (Files.exists(dataRoot)) {
-      val dirs = Files.list(dataRoot)
-      try dirs.iterator().asScala.foreach { dir =>
-        val files = Files.list(dir)
-        try files.iterator().asScala.foreach { f =>
-          if (f.getFileName.toString.endsWith(".parquet") && !keptFiles.contains(f.toString)) {
-            Files.delete(f); deleted += 1
-          }
-        } finally files.close()
-      } finally dirs.close()
+      // recursive: partition-layout batches nest files under col=value dirs
+      val walk = Files.walk(dataRoot)
+      try walk.iterator().asScala.foreach { f =>
+        if (f.getFileName.toString.endsWith(".parquet") && !keptFiles.contains(f.toString)) {
+          Files.delete(f); deleted += 1
+        }
+      } finally walk.close()
     }
     // expired snapshots + manifests last: readers resolve files first, so
     // a crash mid-vacuum leaves only harmless extra metadata. Kept delta
@@ -477,7 +644,16 @@ final class ExactlyOnceSink(table: GraftTable,
                             metrics: Long => Map[String, Long] = _ => Map.empty,
                             lineage: Boolean = false,
                             clusterBy: Seq[String] = Nil,
-                            clusterFiles: Option[Int] = None) {
+                            clusterFiles: Option[Int] = None,
+                            partitionBy: Seq[String] = Nil) {
+  // advertise the layout so readers can discover it (storage-partitioned
+  // scans); stats-verified at read time, so a pre-layout history is safe.
+  // partitionBy wins: its files are single-valued BY CONSTRUCTION (one
+  // directory per value), while clusterBy purity depends on range
+  // boundaries landing between values.
+  if (partitionBy.nonEmpty) table.setLayout(partitionBy)
+  else if (clusterBy.nonEmpty) table.setLayout(clusterBy)
+
   def write(df: DataFrame, batchId: Long): Unit = {
     val clustered =
       if (clusterBy.isEmpty) df
@@ -496,6 +672,6 @@ final class ExactlyOnceSink(table: GraftTable,
         // low 33 bits of monotonically_increasing_id = per-partition counter
         .withColumn("_lineage_row",
           monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-    table.commit(out, batchId, metrics(batchId))
+    table.commit(out, batchId, metrics(batchId), partitionBy)
   }
 }

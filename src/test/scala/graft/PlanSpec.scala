@@ -253,4 +253,106 @@ class PlanSpec extends AnyFunSuite {
     assert(badJoins.isEmpty,
       s"shingle join carries a non-equi doc_id predicate (full pair-space verify):\n${badJoins.mkString("\n")}")
   }
+
+  // ---- graft-table V2 scan capabilities --------------------------------
+
+  private def graftRead(root: String, schema: Option[org.apache.spark.sql.types.StructType] = None) = {
+    val r = spark.read.format(classOf[graft.table.GraftSourceProvider].getName)
+    schema.foreach(r.schema)
+    r.load(root)
+  }
+
+  test("graft table V2: projection prunes columns down to the reader") {
+    val s = spark
+    import s.implicits._
+    val t = new graft.table.GraftTable(
+      java.nio.file.Files.createTempDirectory("graft_colprune").toString)
+    new graft.table.ExactlyOnceSink(t).write(
+      (0 until 100).map(i => (i.toLong, s"n$i", "blob" * 64)).toDF("id", "name", "blob"), 0L)
+    val one = graftRead(t.root).select("name")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(!plan.contains("blob"), s"pruned column still present in the scan:\n$plan")
+    assert(one.collect().map(_.getString(0)).sorted.head == "n0")
+  }
+
+  test("graft table V2: COUNT(*) is answered from manifest metadata, zero data I/O") {
+    val s = spark
+    import s.implicits._
+    val t = new graft.table.GraftTable(
+      java.nio.file.Files.createTempDirectory("graft_countmeta").toString)
+    val df = (0 until 1234).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    new graft.table.ExactlyOnceSink(t).write(df, 0L)
+    val read = graftRead(t.root, Some(df.schema))
+    // remove the data pages: an exact count afterwards proves the
+    // zero-column scan never opens a data file (manifest rows are
+    // authoritative — the commit counted them)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(t.root, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .toList.foreach(p => java.nio.file.Files.write(p, Array.empty[Byte]))
+    assert(read.count() == 1234L)
+  }
+
+  test("graft table V2: manifest statistics reach Catalyst and drive auto-broadcast") {
+    val s = spark
+    import s.implicits._
+    val t = new graft.table.GraftTable(
+      java.nio.file.Files.createTempDirectory("graft_stats").toString)
+    new graft.table.ExactlyOnceSink(t).write(
+      (0 until 500).map(i => (i.toLong, s"n$i")).toDF("id", "name"), 0L)
+    val read = graftRead(t.root)
+    val sz = read.queryExecution.optimizedPlan.stats.sizeInBytes
+    // without SupportsReportStatistics a V2 relation reports the
+    // "unknown" default (spark.sql.defaultSizeInBytes = Long.Max)
+    assert(sz > 0 && sz < 10L * 1024 * 1024, s"V2 stats missing/absurd: $sz")
+    // a small graft table joined to a big relation must auto-broadcast
+    val big = s.range(3000000).toDF("id") // ~24 MB est. > broadcast threshold
+    val plan = big.join(read, "id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small graft table did not broadcast:\n$plan")
+  }
+
+  test("storage-partitioned read: groupBy on the partition layout has no shuffle") {
+    val s = spark
+    import s.implicits._
+    val t = new graft.table.GraftTable(
+      java.nio.file.Files.createTempDirectory("graft_spj").toString)
+    val sink = new graft.table.ExactlyOnceSink(t, partitionBy = Seq("codec"))
+    val codecs = Seq("pcm_s16le", "wav", "opus")
+    sink.write((0 until 3000).map(i => (i.toLong, codecs(i % 3))).toDF("id", "codec")
+      .repartition(5), 0L)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val agg = graftRead(t.root).groupBy("codec").count()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"key-grouped scan still shuffles the aggregation:\n$plan")
+      val m = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m == codecs.map(_ -> 1000L).toMap)
+    } finally s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
+  test("storage-partitioned read degrades safely: multi-valued or null files fall back") {
+    val s = spark
+    import s.implicits._
+    val t = new graft.table.GraftTable(
+      java.nio.file.Files.createTempDirectory("graft_spj_dirty").toString)
+    val sink = new graft.table.ExactlyOnceSink(t,
+      clusterBy = Seq("codec"), clusterFiles = Some(2))
+    sink.write((0 until 100).map(i => (i.toLong, if (i % 2 == 0) "wav" else "opus"))
+      .toDF("id", "codec"), 0L)
+    // second batch: a codec NULL — parquet bounds never cover nulls, so
+    // the single-value claim must be withdrawn for the whole scan
+    new graft.table.ExactlyOnceSink(t).write(
+      Seq((100L, Option.empty[String]), (101L, Some("wav"))).toDF("id", "codec"), 1L)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val agg = graftRead(t.root).groupBy("codec").count()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange hashpartitioning"),
+        s"scan with a null-bearing file must NOT claim key-grouping:\n$plan")
+      val m = agg.collect().map(r => (if (r.isNullAt(0)) "∅" else r.getString(0)) -> r.getLong(1)).toMap
+      assert(m == Map("wav" -> 51L, "opus" -> 50L, "∅" -> 1L))
+    } finally s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
 }

@@ -633,27 +633,121 @@ class StreamingSpec extends AnyFunSuite {
   test("push WAL recovery truncates a trailing partial line; seek index serves offsets") {
     val s = spark
     val wal = Files.createTempDirectory("push_wal_rec").toString
-    val p = java.nio.file.Paths.get(wal, "push.wal")
+    // legacy single-file layout: recovery must adopt it as segment 0
+    val legacy = java.nio.file.Paths.get(wal, "push.wal")
     val lines = (0 until 2500).map(i => s"""{"n":$i}""")
     // simulate a crash mid-append: complete lines + a partial fragment
-    Files.write(p, (lines.mkString("\n") + "\n" + """{"partial""").getBytes("UTF-8"))
+    Files.write(legacy, (lines.mkString("\n") + "\n" + """{"partial""").getBytes("UTF-8"))
     val rcv = graft.sources.PushReceiver.ensure(wal, 0)
     try {
       assert(rcv.count == 2500, "partial fragment must not count as a line")
-      assert(Files.readAllBytes(p).last == '\n'.toByte, "fragment must be truncated")
+      val seg0 = java.nio.file.Paths.get(rcv.segmentList.head._2)
+      assert(!Files.exists(legacy) && seg0.getFileName.toString.endsWith(".wal"),
+        "legacy push.wal must migrate to the segmented layout")
+      assert(Files.readAllBytes(seg0).last == '\n'.toByte, "fragment must be truncated")
       val raw = s.read.format(classOf[graft.sources.GraftPushProvider].getName)
         .option("wal", wal).load()
       assert(raw.count() == 2500)
       // sparse index: a reader for a late range seeks, not re-reads from 0
-      val (pos, ln) = rcv.seekFor(2400)
+      val (path, pos, ln) = rcv.seekFor(2400)
       assert(ln == 2048 && pos > 0, s"expected the 1024-line index point, got ($pos, $ln)")
-      val r = new graft.sources.PushPartitionReader(p.toString, 2400, 2500, pos, ln)
+      val r = new graft.sources.PushPartitionReader(rcv.segmentList, 2400, 2500, path, pos, ln)
       try {
         var cnt = 0
         while (r.next()) cnt += 1
         assert(cnt == 100)
       } finally r.close()
     } finally graft.sources.PushReceiver.stop(wal)
+  }
+
+  test("push WAL rotation: segments roll at the byte budget; reads span the chain") {
+    val s = spark
+    val wal = Files.createTempDirectory("push_wal_rot").toString
+    // tiny budget: every ~2 lines starts a new segment
+    val rcv = graft.sources.PushReceiver.ensure(wal, 0, segmentBytes = 32L)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", rcv.port)
+      val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8), true)
+      (0 until 100).foreach(i => w.println(f"""{"n":$i%04d}"""))
+      w.flush(); sock.close()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (rcv.count < 100 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(rcv.count == 100)
+      val segs = rcv.segmentList
+      assert(segs.size > 10, s"expected many segments at a 32-byte budget, got ${segs.size}")
+      // offsets are global: a cross-segment read returns every line once
+      val raw = s.read.format(classOf[graft.sources.GraftPushProvider].getName)
+        .option("wal", wal).load().collect().map(_.getString(0)).sorted
+      assert(raw.length == 100 && raw.toSeq == (0 until 100).map(i => f"""{"n":$i%04d}"""))
+      // a seek into a sealed mid-chain segment lands at that segment's head
+      val (path, pos, ln) = rcv.seekFor(51)
+      assert(pos == 0L && ln <= 51 && path != segs.last._2)
+    } finally graft.sources.PushReceiver.stop(wal)
+  }
+
+  test("push WAL segmented recovery scans only the active segment") {
+    val wal = Files.createTempDirectory("push_wal_segrec").toString
+    def seg(start: Long) = java.nio.file.Paths.get(wal, f"push.$start%020d.wal")
+    // two sealed segments + an active one with a partial trailing fragment
+    Files.write(seg(0), "a\nb\nc\n".getBytes("UTF-8"))
+    Files.write(seg(3), "d\ne\n".getBytes("UTF-8"))
+    Files.write(seg(5), "f\n{\"part".getBytes("UTF-8"))
+    val rcv = graft.sources.PushReceiver.ensure(wal, 0)
+    try {
+      assert(rcv.count == 6, s"3+2+1 complete lines, got ${rcv.count}")
+      assert(Files.readAllBytes(seg(5)).last == '\n'.toByte, "active-segment fragment truncated")
+      assert(Files.readAllBytes(seg(0)).length == 6, "sealed segments untouched by recovery")
+      val (p0, _, l0) = rcv.seekFor(1)
+      assert(p0 == seg(0).toString && l0 == 0)
+    } finally graft.sources.PushReceiver.stop(wal)
+  }
+
+  test("push WAL reclaim drops consumed segments; floor is enforced") {
+    val wal = Files.createTempDirectory("push_wal_reclaim").toString
+    def seg(start: Long) = java.nio.file.Paths.get(wal, f"push.$start%020d.wal")
+    Files.write(seg(0), "a\nb\nc\n".getBytes("UTF-8"))
+    Files.write(seg(3), "d\ne\n".getBytes("UTF-8"))
+    Files.write(seg(5), "f\n".getBytes("UTF-8"))
+    val rcv = graft.sources.PushReceiver.ensure(wal, 0)
+    try {
+      // reclaim below 4: only segment [0,3) is entirely consumed
+      assert(rcv.reclaim(4) == 1 && !Files.exists(seg(0)) && Files.exists(seg(3)))
+      assert(rcv.firstRetainedLine == 3)
+      // the active segment never drops, even when fully consumed
+      assert(rcv.reclaim(100) == 1 && Files.exists(seg(5)))
+      assert(rcv.firstRetainedLine == 5)
+      val e = intercept[IllegalArgumentException](rcv.seekFor(2))
+      assert(e.getMessage.contains("retained floor"))
+    } finally graft.sources.PushReceiver.stop(wal)
+  }
+
+  test("push reclaimOnCommit: checkpointed commits retire segments behind the stream") {
+    val s = spark
+    val wal = Files.createTempDirectory("push_wal_roc").toString
+    val q = graft.sources.PushLog.readLines(s, wal,
+      maxRowsPerTrigger = Some(10), segmentBytes = Some(64L), reclaimOnCommit = true)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_roc").toString)
+      .format("memory").queryName("roc_out").start()
+    try {
+      val d0 = System.nanoTime() + 10_000_000_000L
+      while (graft.sources.PushReceiver.boundPort(wal).isEmpty &&
+        System.nanoTime() < d0) Thread.sleep(20)
+      val rcv = graft.sources.PushReceiver.ensure(wal, 0)
+      val sock = new java.net.Socket("127.0.0.1", rcv.port)
+      val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8), true)
+      (0 until 200).foreach(i => w.println(f"""{"n":$i%06d}"""))
+      w.flush(); sock.close()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (rcv.count < 200 && System.nanoTime() < deadline) Thread.sleep(20)
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM roc_out").count() == 200, "all lines delivered once")
+      assert(rcv.firstRetainedLine > 0,
+        "committed micro-batches should have retired leading segments")
+      assert(rcv.segmentList.size < 10, s"retention should bound live segments")
+    } finally { q.stop(); graft.sources.PushReceiver.stop(wal) }
   }
 
   test("streaming dedup drops cross-batch duplicates within the watermark") {
