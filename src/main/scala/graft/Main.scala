@@ -17,7 +17,8 @@ import graft.table.{ExactlyOnceSink, GraftTable}
   *     --input <clipTableDir> --output <graftTableRoot> \
   *     --checkpoint <dir> [--status-filter fail,error] \
   *     [--job events|pipeline|windows|sessions|cep] \
-  *     [--max-files-per-trigger 32] [--max-bytes-per-trigger N] [--once]
+  *     [--max-files-per-trigger 32] [--max-bytes-per-trigger N] [--once] \
+  *     [--partition-by codec[,col2]]
   *
   * Config validation mirrors the reference (C1, config.go): status_filter
   * values outside {pass,fail,error,skip} are rejected, case-sensitively.
@@ -30,7 +31,8 @@ object Main {
                           maxBytesPerTrigger: Option[Long] = None,
                           once: Boolean = true,
                           job: String = "events", rocksdb: Boolean = false,
-                          enabled: Boolean = true, lineage: Boolean = false)
+                          enabled: Boolean = true, lineage: Boolean = false,
+                          partitionBy: Seq[String] = Nil)
 
   val ValidJobs: Set[String] = Set("events", "pipeline", "windows", "sessions", "cep")
 
@@ -51,6 +53,11 @@ object Main {
       // reference `enabled: false` (config.go:8-25): identity pass-through
       case "--disabled" :: t => loop(t, c.copy(enabled = false))
       case "--lineage" :: t => loop(t, c.copy(lineage = true))
+      // Hive-style directory layout on the sink table: value-pure files
+      // enable exact partition pruning and shuffle-free storage-partitioned
+      // aggregation/joins on these columns (low-cardinality columns only)
+      case "--partition-by" :: v :: t =>
+        loop(t, c.copy(partitionBy = v.split(",").toSeq.filter(_.nonEmpty)))
       case "--once" :: t => loop(t, c.copy(once = true))
       case "--continuous" :: t => loop(t, c.copy(once = false))
       case other :: _ => Left(s"unknown argument: $other")
@@ -90,7 +97,8 @@ object Main {
     val listener = new Metrics.Listener(persistRoot = Some(conf.output))
     spark.streams.addListener(listener)
     val table = new GraftTable(conf.output)
-    val sink = new ExactlyOnceSink(table, lineage = conf.lineage)
+    val sink = new ExactlyOnceSink(table, lineage = conf.lineage,
+      partitionBy = conf.partitionBy)
 
     val schema = spark.read.parquet(conf.input).schema
     val reader = spark.readStream.schema(schema)

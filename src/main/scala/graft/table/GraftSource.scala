@@ -15,8 +15,9 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.Expressions
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
@@ -190,9 +191,11 @@ final class GraftV2Table(root: String, tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+        with SupportsPushDownAggregates {
       private var pushed: Array[Filter] = Array.empty
       private var required: StructType = tableSchema
+      private var aggPushed: Option[(StructType, Array[Any])] = None
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         pushed = filters.filter(FilePrune.prunable)
         // file-level stats pruning is never exact: EVERY filter must still
@@ -205,7 +208,91 @@ final class GraftV2Table(root: String, tableSchema: StructType)
       // 100 TB a SELECT clip_id never pays for transcript/bytes I/O
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def build(): Scan = new GraftScan(root, required,
+
+      // ---- aggregate pushdown: metadata-only global aggregates --------
+      // COUNT(*), COUNT(col), MIN/MAX(integer-family col) over the WHOLE
+      // table are exactly answerable from manifest metadata (exact per-file
+      // rows + exact null counts + exact integer min/max): at 100 TB these
+      // return in milliseconds with zero data I/O. Strict scope: no
+      // grouping, no filters (Spark only offers pushdown when every filter
+      // was fully pushed — and we always keep row-eval filters, so any
+      // filtered query never reaches here), strings excluded from MIN/MAX
+      // (parquet binary bounds may be truncated, i.e. not exact values),
+      // floats excluded (NaN never enters parquet stats but DOES order as
+      // largest in Spark's min/max semantics).
+      private def metadataAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
+        if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+        val table = new GraftTable(root)
+        // honor time travel: an as-of read's aggregate must fold the
+        // manifests of THAT snapshot, not the latest
+        val asOf = Option(options.get("version")).map(_.toLong).getOrElse(table.version)
+        val fs = table.manifestsUpTo(asOf).flatMap(table.manifestFiles)
+        def colOf(refs: Array[NamedReference]): Option[StructField] = refs match {
+          case Array(r) if r.fieldNames.length == 1 =>
+            tableSchema.fields.find(_.name == r.fieldNames.head)
+          case _ => None
+        }
+        def exactLongFamily(dt: DataType): Boolean = dt match {
+          case LongType | IntegerType | ShortType | ByteType |
+               DateType | TimestampType | TimestampNTZType => true
+          case _ => false
+        }
+        // stat string → Catalyst value of the column's type
+        def lift(dt: DataType, v: String): Any = dt match {
+          case LongType | TimestampType | TimestampNTZType => java.lang.Long.valueOf(v.toLong)
+          case IntegerType | DateType => java.lang.Integer.valueOf(v.toInt)
+          case ShortType => java.lang.Short.valueOf(v.toShort)
+          case ByteType => java.lang.Byte.valueOf(v.toByte)
+          case _ => throw new IllegalStateException(s"unexpected $dt")
+        }
+        def minMax(f: AggregateFunc, refs: Array[NamedReference], wantMax: Boolean):
+            Option[(StructField, Any)] =
+          colOf(refs).filter(c => exactLongFamily(c.dataType)).flatMap { c =>
+            val sts = fs.map(_.stats.get(c.name))
+            if (fs.isEmpty) Some((StructField(f.toString, c.dataType), null))
+            else if (sts.exists(s => s.isEmpty || s.get.typ != "long")) None
+            else {
+              // stats present for EVERY file ⇒ every file has ≥1 non-null
+              // value (footer stats only exist for non-null data, and the
+              // commit drops bound-less columns) and every non-null row is
+              // inside its file's bounds — the fold is the exact answer
+              val vals = sts.map(s => if (wantMax) s.get.max.toLong else s.get.min.toLong)
+              val v = if (wantMax) vals.max else vals.min
+              Some((StructField(f.toString, c.dataType), lift(c.dataType, v.toString)))
+            }
+          }
+        val resolved: Seq[Option[(StructField, Any)]] = agg.aggregateExpressions.toSeq.map {
+          case _: CountStar =>
+            Some((StructField("count(*)", LongType), java.lang.Long.valueOf(fs.map(_.rows).sum)))
+          case c: Count if !c.isDistinct =>
+            colOf(c.references).flatMap { col =>
+              val nulls = fs.map(_.stats.get(col.name).map(_.nulls).getOrElse(-1L))
+              if (nulls.exists(_ < 0L)) None // unknown null count somewhere
+              else Some((StructField(s"count(${col.name})", LongType),
+                java.lang.Long.valueOf(fs.map(_.rows).sum - nulls.sum)))
+            }
+          case m: Min => minMax(m, m.references, wantMax = false)
+          case m: Max => minMax(m, m.references, wantMax = true)
+          case _ => None
+        }
+        if (resolved.exists(_.isEmpty)) None
+        else Some((StructType(resolved.map(_.get._1)), resolved.map(_.get._2).toArray))
+      }
+
+      override def supportCompletePushDown(agg: Aggregation): Boolean = {
+        aggPushed = metadataAgg(agg)
+        aggPushed.isDefined
+      }
+      override def pushAggregation(agg: Aggregation): Boolean = {
+        if (aggPushed.isEmpty) aggPushed = metadataAgg(agg)
+        aggPushed.isDefined
+      }
+      override def build(): Scan = aggPushed match {
+        case Some((aggSchema, row)) => new GraftAggScan(root, aggSchema, row)
+        case None => buildScan()
+      }
+
+      private def buildScan(): Scan = new GraftScan(root, required,
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
         Option(options.get("maxBytesPerTrigger")).map(_.toLong),
         pushed.toSeq,
@@ -221,17 +308,52 @@ final class GraftV2Table(root: String, tableSchema: StructType)
     }
 }
 
+/** A fully-pushed-down global aggregate: the answer was computed from
+  * manifest metadata at plan time — the "scan" emits exactly one row and
+  * never touches a data file. */
+final class GraftAggScan(root: String, aggSchema: StructType, row: Array[Any])
+    extends Scan {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"graft-table METADATA aggregate of $root: ${aggSchema.map(_.name).mkString(", ")}"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(GraftAggPartition(row))
+    override def createReaderFactory(): PartitionReaderFactory =
+      (partition: InputPartition) => new PartitionReader[InternalRow] {
+        private var done = false
+        override def next(): Boolean = if (done) false else { done = true; true }
+        override def get(): InternalRow =
+          new GenericInternalRow(partition.asInstanceOf[GraftAggPartition].values)
+        override def close(): Unit = ()
+      }
+  }
+}
+
+case class GraftAggPartition(values: Array[Any]) extends InputPartition
+
 final class GraftScan(root: String, schema: StructType,
                       maxFilesPerTrigger: Option[Int],
                       maxBytesPerTrigger: Option[Long],
                       filters: Seq[Filter],
                       layout: Seq[String] = Nil,
                       asOfVersion: Option[Long] = None)
-    extends Scan with SupportsReportStatistics with SupportsReportPartitioning {
+    extends Scan with SupportsReportStatistics with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = schema
   override def description(): String =
     s"graft-table scan of $root, PushedFilters: [${filters.mkString(", ")}], " +
       s"ReadSchema: ${schema.map(_.name).mkString(",")}"
+
+  // ---- runtime filtering (the V2 analog of dynamic partition pruning):
+  // a broadcast join hands the scan an IN-list of observed join-key values
+  // at RUNTIME; manifest stats prune non-overlapping files before any task
+  // launches — a fact-table × small-dim join reads only matching files.
+  private var runtimeFilters: Seq[Filter] = Nil
+  override def filterAttributes(): Array[NamedReference] =
+    schema.fields.map(f => Expressions.column(f.name)).toArray
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters.toSeq.filter(FilePrune.prunable)
 
   // rows > 0: an empty range partition writes a row-less file whose footer
   // has no stats — planning it adds a no-op task and (worse) withdraws the
@@ -239,7 +361,7 @@ final class GraftScan(root: String, schema: StructType,
   private def liveFiles(table: GraftTable): Seq[FileInfo] =
     table.manifestsUpTo(asOfVersion.getOrElse(table.version))
       .flatMap(table.manifestFiles)
-      .filter(fi => fi.rows > 0 && FilePrune.keep(fi, filters))
+      .filter(fi => fi.rows > 0 && FilePrune.keep(fi, filters ++ runtimeFilters))
 
   /** Post-pruning size/row estimate from manifest metadata — zero data
     * I/O. Catalyst's join planning sees it through the V2 relation, so a

@@ -33,6 +33,9 @@ class JobSpec extends AnyFunSuite {
     assert(Main.parseArgs(Array("--input", "i", "--output", "o",
       "--checkpoint", "c", "--max-bytes-per-trigger", "4194304"))
       .exists(_.maxBytesPerTrigger.contains(4194304L)))
+    assert(Main.parseArgs(Array("--input", "i", "--output", "o",
+      "--checkpoint", "c", "--partition-by", "codec,sr_hz"))
+      .exists(_.partitionBy == Seq("codec", "sr_hz")))
   }
 
   test("disabled processor is a whole-stream identity pass-through") {

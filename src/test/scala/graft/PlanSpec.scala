@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{IntervalJoin, Pipeline, Windows}
 import graft.audio.ClipTable
@@ -310,6 +311,52 @@ class PlanSpec extends AnyFunSuite {
     val plan = big.join(read, "id").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"small graft table did not broadcast:\n$plan")
+  }
+
+  test("graft table V2: global COUNT/MIN/MAX answered from manifest metadata") {
+    val s = spark
+    import s.implicits._
+    val t = new graft.table.GraftTable(
+      java.nio.file.Files.createTempDirectory("graft_aggpush").toString)
+    val rows = (1 to 100).map(i => (if (i % 10 == 0) None else Some(i.toLong), s"n$i"))
+    new graft.table.ExactlyOnceSink(t).write(
+      rows.toDF("id", "name").repartition(4), 0L)
+    val read = graftRead(t.root)
+    val agg = read.agg(
+      count(lit(1)).as("n"), count(col("id")).as("nid"),
+      min("id").as("lo"), max("id").as("hi"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("METADATA aggregate"),
+      s"global count/min/max should come from manifests:\n$plan")
+    val r = agg.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((100L, 90L, 1L, 99L)))
+    // a filtered aggregate must NOT be metadata-answered (filters are
+    // row-evaluated): plan must be a normal scan, value exact
+    val f = read.filter(col("id") > 50L).agg(max("id").as("hi"))
+    assert(!f.queryExecution.executedPlan.toString.contains("METADATA aggregate"))
+    assert(f.collect().head.getLong(0) == 99L)
+    // string MIN/MAX excluded (binary bounds are not guaranteed exact)
+    val m = read.agg(max("name").as("m"))
+    assert(!m.queryExecution.executedPlan.toString.contains("METADATA aggregate"))
+    assert(m.collect().head.getString(0) == "n99")
+  }
+
+  test("graft table V2: runtime filters from a broadcast join prune files") {
+    val s = spark
+    import s.implicits._
+    val t = new graft.table.GraftTable(
+      java.nio.file.Files.createTempDirectory("graft_dpp").toString)
+    // cluster by id: each file covers a narrow id range, so an IN-list of
+    // small ids overlaps few files
+    new graft.table.ExactlyOnceSink(t, clusterBy = Seq("id"), clusterFiles = Some(8))
+      .write((0 until 8000).map(i => (i.toLong, s"v$i")).toDF("id", "v"), 0L)
+    // DPP only triggers when the build side carries a SELECTIVE predicate
+    val dim = s.range(1000).toDF("id").filter(col("id") < 5)
+    val j = graftRead(t.root).join(broadcast(dim), "id")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(j.count() == 5)
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"broadcast join should plant a runtime filter on the graft scan:\n$plan")
   }
 
   test("storage-partitioned read: groupBy on the partition layout has no shuffle") {

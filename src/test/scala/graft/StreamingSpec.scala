@@ -883,6 +883,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(wav.count() == 1000)
   }
 
+  test("partition layout: values round-trip batch, stream, time travel, compaction") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_partlay").toString)
+    val sink = new ExactlyOnceSink(t, partitionBy = Seq("codec"))
+    val b0 = Seq((1L, Some("wav")), (2L, Some("opus")), (3L, Option.empty[String]),
+      (4L, Some("wav"))).toDF("id", "codec")
+    sink.write(b0, 0L)
+    // the partition column is NOT in the data files…
+    val rawCols = s.read.parquet(t.dataFiles.head).columns.toSeq
+    assert(!rawCols.contains("codec"), s"codec should live in the path, got $rawCols")
+    // …but batch reads re-inject it, including the null partition
+    val got = t.read(s).collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got == Map(1L -> "wav", 2L -> "opus", 3L -> null, 4L -> "wav"))
+    // dir-derived stats prune equality predicates to (value files + null
+    // file, which has no codec stats and is conservatively kept)
+    val read = s.read.format(classOf[graft.table.GraftSourceProvider].getName).load(t.root)
+    val all = read.rdd.getNumPartitions
+    val wav = read.filter(col("codec") === "wav")
+    assert(wav.rdd.getNumPartitions < all && wav.count() == 2)
+    // the change stream injects too
+    val outName = "partlay_out"
+    val q = t.readStream(s).writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_partlay").toString)
+      .format("memory").queryName(outName).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = s.sql(s"SELECT * FROM $outName").collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(streamed == got)
+    // second batch + compaction: layout preserved through the rewrite
+    sink.write(Seq((5L, Some("wav"))).toDF("id", "codec"), 1L)
+    t.compact(s, targetFiles = 1)
+    val afterCompact = t.read(s).collect().map(_.getLong(0)).sorted.toSeq
+    assert(afterCompact == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(t.dataFiles.exists(_.contains("codec=wav")), "compaction must keep the dir layout")
+    // time travel to v1 still injects from v1's manifests
+    assert(t.readVersion(s, 1L).count() == 4)
+  }
+
+  test("partition layout: same-layout tables join WITHOUT a shuffle on the key") {
+    val s = spark
+    import s.implicits._
+    def mk(n: Int): GraftTable = {
+      val t = new GraftTable(Files.createTempDirectory("graft_spjoin").toString)
+      new ExactlyOnceSink(t, partitionBy = Seq("codec")).write(
+        (0 until n).map(i => (i.toLong, Seq("wav", "opus", "flac")(i % 3))).toDF("id", "codec"), 0L)
+      t
+    }
+    val (ta, tb) = (mk(300), mk(900))
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    try {
+      def rd(t: GraftTable) =
+        s.read.format(classOf[graft.table.GraftSourceProvider].getName).load(t.root)
+      val j = rd(ta).groupBy("codec").count()
+        .join(rd(tb).groupBy("codec").agg(sum("id").as("s")), "codec")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"same-layout storage-partitioned join still shuffles:\n$plan")
+      assert(j.count() == 3)
+    } finally {
+      s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("V2 source: byte budget bounds each micro-batch regardless of file skew") {
     val s = spark
     import s.implicits._
