@@ -57,7 +57,7 @@ object Main {
       // enable exact partition pruning and shuffle-free storage-partitioned
       // aggregation/joins on these columns (low-cardinality columns only)
       case "--partition-by" :: v :: t =>
-        loop(t, c.copy(partitionBy = v.split(",").toSeq.filter(_.nonEmpty)))
+        loop(t, c.copy(partitionBy = v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
       case "--once" :: t => loop(t, c.copy(once = true))
       case "--continuous" :: t => loop(t, c.copy(once = false))
       case other :: _ => Left(s"unknown argument: $other")
@@ -123,6 +123,17 @@ object Main {
             case _          => events
           }
       }
+
+    // upfront config validation (the C1 convention: reject bad config
+    // before the query starts, not at the first commit mid-stream) — the
+    // partition columns apply to the JOB OUTPUT schema, known only here
+    conf.partitionBy.foreach { c =>
+      if (!out.schema.fieldNames.contains(c)) {
+        System.err.println(s"[graft] --partition-by column '$c' not in the " +
+          s"output schema of job '${conf.job}' (${out.schema.fieldNames.mkString(", ")})")
+        sys.exit(2)
+      }
+    }
 
     val q = out.writeStream
       .option("checkpointLocation", conf.checkpoint)

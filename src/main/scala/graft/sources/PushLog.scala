@@ -158,6 +158,7 @@ final class PushReceiver private (val walDir: String, requestedPort: Int,
 
   def port: Int = server.getLocalPort
   def count: Long = lineCount
+  def segmentLimit: Long = segmentBytes
 
   /** Earliest line still on disk (0 until a reclaim deletes segments). */
   def firstRetainedLine: Long = synchronized(segments.head._1)
@@ -254,10 +255,20 @@ object PushReceiver {
   /** No-rotation default: one segment for the receiver's lifetime. */
   val NoSegmentLimit: Long = Long.MaxValue
 
-  /** The receiver for `walDir`, starting it on first use. */
+  /** The receiver for `walDir`, starting it on first use. A later caller
+    * asking for a DIFFERENT explicit rotation budget than the live
+    * receiver's fails loudly — getOrElseUpdate would otherwise silently
+    * keep the first configuration and the caller's retention would never
+    * engage (an unrotated active segment can never be reclaimed). Callers
+    * passing the default defer to whatever is running. */
   def ensure(walDir: String, port: Int,
-             segmentBytes: Long = NoSegmentLimit): PushReceiver =
-    active.getOrElseUpdate(walDir, new PushReceiver(walDir, port, segmentBytes))
+             segmentBytes: Long = NoSegmentLimit): PushReceiver = {
+    val r = active.getOrElseUpdate(walDir, new PushReceiver(walDir, port, segmentBytes))
+    require(segmentBytes == NoSegmentLimit || segmentBytes == r.segmentLimit,
+      s"push receiver for $walDir is already running with segmentBytes=" +
+        s"${r.segmentLimit}; requested $segmentBytes (stop it first)")
+    r
+  }
 
   /** Bound port of the receiver on `walDir` (ephemeral ports: port=0). */
   def boundPort(walDir: String): Option[Int] = active.get(walDir).map(_.port)
@@ -296,9 +307,14 @@ final class GraftPushTable(walDir: String, port: Int, maxRows: Option[Long],
       override def toBatch: Batch = new Batch {
         private val rcv = PushReceiver.ensure(walDir, port, segmentBytes)
         override def planInputPartitions(): Array[InputPartition] = {
+          // count FIRST: segments only roll forward, so a segment snapshot
+          // taken after the count always covers [from, end) — the reverse
+          // order could admit lines whose (freshly rolled) segment is
+          // missing from the snapshot, silently truncating the batch
+          val end = rcv.count
           val from = rcv.firstRetainedLine
           val (path, pos, line) = rcv.seekFor(from)
-          Array(PushInputPartition(rcv.segmentList, from, rcv.count, path, pos, line))
+          Array(PushInputPartition(rcv.segmentList, from, end, path, pos, line))
         }
         override def createReaderFactory(): PartitionReaderFactory = new PushReaderFactory
       }

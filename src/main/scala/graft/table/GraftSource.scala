@@ -226,7 +226,11 @@ final class GraftV2Table(root: String, tableSchema: StructType)
         // honor time travel: an as-of read's aggregate must fold the
         // manifests of THAT snapshot, not the latest
         val asOf = Option(options.get("version")).map(_.toLong).getOrElse(table.version)
+        // rows > 0: a row-less file (empty clusterBy range partition) has
+        // no footer stats and contributes nothing to any aggregate — it
+        // must not disqualify the metadata answer
         val fs = table.manifestsUpTo(asOf).flatMap(table.manifestFiles)
+          .filter(_.rows > 0)
         def colOf(refs: Array[NamedReference]): Option[StructField] = refs match {
           case Array(r) if r.fieldNames.length == 1 =>
             tableSchema.fields.find(_.name == r.fieldNames.head)
@@ -355,11 +359,20 @@ final class GraftScan(root: String, schema: StructType,
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters.toSeq.filter(FilePrune.prunable)
 
+  // Snapshot version resolved ONCE at scan construction: statistics,
+  // outputPartitioning, and (possibly much later) planInputPartitions must
+  // all see the SAME file set — a concurrent commit landing between
+  // logical planning and execution would otherwise let execution-time
+  // partitions contradict the KeyGroupedPartitioning claimed at plan time
+  // (plain partitions under a plan that expects HasPartitionKey).
+  private val snapshotVersion: Long =
+    asOfVersion.getOrElse(new GraftTable(root).version)
+
   // rows > 0: an empty range partition writes a row-less file whose footer
   // has no stats — planning it adds a no-op task and (worse) withdraws the
   // storage-partitioned single-value claim for the whole scan
   private def liveFiles(table: GraftTable): Seq[FileInfo] =
-    table.manifestsUpTo(asOfVersion.getOrElse(table.version))
+    table.manifestsUpTo(snapshotVersion)
       .flatMap(table.manifestFiles)
       .filter(fi => fi.rows > 0 && FilePrune.keep(fi, filters ++ runtimeFilters))
 
@@ -596,34 +609,27 @@ final class GraftReaderFactory(schema: StructType) extends PartitionReaderFactor
       case g: GraftInputPartition => g
       case k: GraftKeyedInputPartition => GraftInputPartition(k.path, k.rows, k.pv)
     }
-    if (schema.isEmpty)
-      // zero-column projection (e.g. COUNT(*)): the manifest row count is
-      // authoritative (the commit counted the rows) — emit empty rows
-      // without touching the data file at all
+    if (schema.isEmpty || schema.fields.forall(f => p.pv.contains(f.name)))
+      // zero-column projection (COUNT(*)) or every required column is a
+      // directory-encoded constant (e.g. groupBy on the partition column):
+      // the manifest row count is authoritative (the commit counted the
+      // rows) — emit constant rows without touching the data file at all
       new PartitionReader[InternalRow] {
         private var emitted = 0L
-        private val empty = new GenericInternalRow(Array.empty[Any])
+        private val row = new GenericInternalRow(
+          schema.fields.map(f => PvInject.constant(f.dataType, p.pv(f.name))))
         override def next(): Boolean = { emitted += 1; emitted <= p.rows }
-        override def get(): InternalRow = empty
+        override def get(): InternalRow = row
         override def close(): Unit = ()
       }
     else new GraftPartitionReader(p.path, schema, p.pv)
   }
 }
 
-/** Reads one manifest-listed parquet file into InternalRows via the public
-  * parquet-mr Group API. Supports primitive columns (string/long/int/
-  * double/float/boolean/binary/date/timestamp) plus Spark-written nested
-  * columns: array<...>, map<...,...>, struct<...> — recursively (the E3
-  * typed-attr bag is array<struct<...>>), so any event schema the sink can
-  * write round-trips through the table's own change stream. */
-final class GraftPartitionReader(path: String, schema: StructType,
-                                 pv: Map[String, Option[String]] = Map.empty)
-    extends PartitionReader[InternalRow] {
-
-  /** Catalyst-internal constant for a directory-encoded partition value
-    * (commit validates partition columns against exactly this type set). */
-  private def pvConstant(dt: DataType, ov: Option[String]): Any = ov match {
+/** Typed Catalyst constants for directory-encoded partition values
+  * (commit validates partition columns against exactly this type set). */
+private[table] object PvInject {
+  def constant(dt: DataType, ov: Option[String]): Any = ov match {
     case None => null
     case Some(v) => dt match {
       case StringType => UTF8String.fromString(v)
@@ -637,26 +643,65 @@ final class GraftPartitionReader(path: String, schema: StructType,
         s"partition value of type ${other.simpleString} cannot be re-injected")
     }
   }
+}
 
-  private val reader: ParquetReader[Group] = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val conf = new Configuration()
-    // physical column projection: give parquet-mr only the required fields
-    // of the FILE's schema (footer metadata read — no data pages), so
-    // unprojected columns' pages are never read or decoded. A 2-column
-    // SELECT over a wide 100 TB table does 2 columns of I/O.
-    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
-    val fileType = try footer.getFileMetaData.getSchema finally footer.close()
-    val names = schema.fields.map(_.name).toSet
-    val kept = fileType.getFields.asScala.filter(f => names.contains(f.getName))
-    if (kept.size < fileType.getFieldCount && kept.nonEmpty)
-      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-        new org.apache.parquet.schema.MessageType(fileType.getName, kept.asJava).toString)
-    ParquetReader.builder(new GroupReadSupport(), hPath)
-      .withConf(conf)
-      .build()
+/** GroupReadSupport that projects down to the required column names at
+  * init time — a SINGLE footer read decides the projection (no separate
+  * pre-open of the file: per-file open latency is a dominant cost for
+  * many-small-file tables on remote storage). When none of the required
+  * names exist physically (possible only via schema evolution — the
+  * all-constants case never reaches the parquet reader), the narrowest
+  * single column is kept so row iteration still advances at minimal
+  * decode cost. */
+final class ProjectingGroupReadSupport(names: Set[String]) extends GroupReadSupport {
+  private def width(t: org.apache.parquet.schema.Type): Int =
+    if (!t.isPrimitive) Int.MaxValue
+    else t.asPrimitiveType().getPrimitiveTypeName match {
+      case PrimitiveType.PrimitiveTypeName.BOOLEAN => 1
+      case PrimitiveType.PrimitiveTypeName.INT32 |
+           PrimitiveType.PrimitiveTypeName.FLOAT => 4
+      case PrimitiveType.PrimitiveTypeName.INT64 |
+           PrimitiveType.PrimitiveTypeName.DOUBLE => 8
+      case PrimitiveType.PrimitiveTypeName.INT96 => 12
+      case _ => 1000 // binary / fixed-len: assume wide
+    }
+
+  override def init(configuration: Configuration,
+                    keyValueMetaData: util.Map[String, String],
+                    fileSchema: org.apache.parquet.schema.MessageType):
+      org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+    val kept = fileSchema.getFields.asScala.filter(f => names.contains(f.getName))
+    val proj =
+      if (kept.size == fileSchema.getFieldCount) fileSchema
+      else if (kept.nonEmpty)
+        new org.apache.parquet.schema.MessageType(fileSchema.getName, kept.asJava)
+      else
+        new org.apache.parquet.schema.MessageType(fileSchema.getName,
+          util.Arrays.asList(fileSchema.getFields.asScala.minBy(width)))
+    new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(proj)
   }
+}
+
+/** Reads one manifest-listed parquet file into InternalRows via the public
+  * parquet-mr Group API. Supports primitive columns (string/long/int/
+  * double/float/boolean/binary/date/timestamp) plus Spark-written nested
+  * columns: array<...>, map<...,...>, struct<...> — recursively (the E3
+  * typed-attr bag is array<struct<...>>), so any event schema the sink can
+  * write round-trips through the table's own change stream. */
+final class GraftPartitionReader(path: String, schema: StructType,
+                                 pv: Map[String, Option[String]] = Map.empty)
+    extends PartitionReader[InternalRow] {
+
+  // physical column projection decided inside the reader's own footer
+  // read (ProjectingGroupReadSupport): unprojected columns' pages are
+  // never read or decoded — a 2-column SELECT over a wide 100 TB table
+  // does 2 columns of I/O, and each file is opened exactly once.
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(
+        new ProjectingGroupReadSupport(schema.fields.map(_.name).toSet),
+        new org.apache.hadoop.fs.Path(path))
+      .withConf(new Configuration())
+      .build()
 
   private var current: Group = _
   // per-field converters, resolved lazily against the file schema of the
@@ -772,7 +817,7 @@ final class GraftPartitionReader(path: String, schema: StructType,
       if (!fileType.containsField(f.name)) {
         // directory-encoded partition column → per-file constant;
         // genuinely absent column (schema evolution) → null
-        val const = pv.get(f.name).map(pvConstant(f.dataType, _)).orNull
+        val const = pv.get(f.name).map(PvInject.constant(f.dataType, _)).orNull
         (_: Group) => const
       }
       else {

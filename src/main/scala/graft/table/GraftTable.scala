@@ -95,12 +95,6 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
       new String(Files.readAllBytes(p("SCHEMA")), StandardCharsets.UTF_8))
       .asInstanceOf[org.apache.spark.sql.types.StructType])
 
-  /** True if any live file carries directory-encoded partition values —
-    * such files must be read through the V2 source (constant injection). */
-  def hasPartitionLayout: Boolean = synchronized {
-    snapshotManifests(version).exists(m => manifest(m).files.exists(_.pv.nonEmpty))
-  }
-
   /** Declared directory-partition columns (recorded by the first
     * partitioned commit): unlike the advisory [[layout]], these are
     * guaranteed single-valued per file and low-cardinality by
