@@ -19,7 +19,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -299,6 +299,7 @@ final class GraftV2Table(root: String, tableSchema: StructType)
       private def buildScan(): Scan = new GraftScan(root, required,
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
         Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+        Option(options.get("maxRowsPerTrigger")).map(_.toLong),
         pushed.toSeq,
         // layout columns for storage-partitioned reads: explicit option
         // wins, else the layout the sink declared on the table
@@ -339,6 +340,7 @@ case class GraftAggPartition(values: Array[Any]) extends InputPartition
 final class GraftScan(root: String, schema: StructType,
                       maxFilesPerTrigger: Option[Int],
                       maxBytesPerTrigger: Option[Long],
+                      maxRowsPerTrigger: Option[Long],
                       filters: Seq[Filter],
                       layout: Seq[String] = Nil,
                       asOfVersion: Option[Long] = None)
@@ -466,7 +468,8 @@ final class GraftScan(root: String, schema: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(root, schema, maxFilesPerTrigger, maxBytesPerTrigger, filters)
+    new GraftMicroBatchStream(root, schema, maxFilesPerTrigger, maxBytesPerTrigger,
+      maxRowsPerTrigger, filters)
 }
 
 /** Offset = snapshot version (the number of committed micro-batches). */
@@ -477,6 +480,7 @@ case class GraftOffset(version: Long) extends Offset {
 final class GraftMicroBatchStream(root: String, schema: StructType,
                                   maxFilesPerTrigger: Option[Int],
                                   maxBytesPerTrigger: Option[Long] = None,
+                                  maxRowsPerTrigger: Option[Long] = None,
                                   filters: Seq[Filter] = Nil)
     extends MicroBatchStream with SupportsAdmissionControl {
 
@@ -489,7 +493,8 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
 
   override def getDefaultReadLimit: ReadLimit = {
     val lims = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
-      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq ++
+      maxRowsPerTrigger.map(ReadLimit.maxRows).toSeq
     lims match {
       case Seq() => ReadLimit.allAvailable()
       case Seq(one) => one
@@ -537,8 +542,9 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
       .flatMap(table.manifestFiles)
       .filter(FilePrune.keep(_, filters))
 
-  /** Admit whole snapshot versions until a file or byte budget is spent
-    * (at least one version per trigger so the stream always advances). */
+  /** Admit whole snapshot versions until a file, byte, or ROW budget is
+    * spent (at least one version per trigger so the stream always
+    * advances). Rows come from manifest counts — exact, zero I/O. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = table.version
     val from = start.asInstanceOf[GraftOffset].version
@@ -548,24 +554,28 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
     }
     val maxF = lims.collectFirst { case f: ReadMaxFiles => f.maxFiles() }
     val maxB = lims.collectFirst { case b: ReadMaxBytes => b.maxBytes() }
-    if ((maxF.isEmpty && maxB.isEmpty) || cur <= from) GraftOffset(cur)
+    val maxR = lims.collectFirst { case r: ReadMaxRows => r.maxRows() }
+    if ((maxF.isEmpty && maxB.isEmpty && maxR.isEmpty) || cur <= from) GraftOffset(cur)
     else {
       val chain = table.manifestsUpTo(cur).toSet
       val firstLive = firstLiveVersion(from, cur)
       var v = from
       var files = 0
       var bytes = 0L
+      var rows = 0L
       var stop = false
       while (!stop && v < cur) {
         val fs = versionFiles(v + 1, from, chain, firstLive)
         val nFiles = fs.size
         val nBytes = fs.map(_.bytes).sum
+        val nRows = fs.map(_.rows).sum
         val overF = maxF.exists(m => files + nFiles > m)
         val overB = maxB.exists(m => bytes + nBytes > m)
+        val overR = maxR.exists(m => rows + nRows > m)
         // v > from: the first version is always admitted even if it alone
         // overflows a budget (the stream must advance)
-        if (v > from && (overF || overB)) stop = true
-        else { files += nFiles; bytes += nBytes; v += 1 }
+        if (v > from && (overF || overB || overR)) stop = true
+        else { files += nFiles; bytes += nBytes; rows += nRows; v += 1 }
       }
       GraftOffset(v)
     }

@@ -277,10 +277,12 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     * offset log survives file renames/compaction (unlike the round-1
     * hardlink `published/` directory this replaces). */
   def readStream(spark: SparkSession, maxFilesPerTrigger: Int = 32,
-                 maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+                 maxBytesPerTrigger: Option[Long] = None,
+                 maxRowsPerTrigger: Option[Long] = None): DataFrame = {
     val r = spark.readStream.format(classOf[GraftSourceProvider].getName)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
     maxBytesPerTrigger.foreach(b => r.option("maxBytesPerTrigger", b))
+    maxRowsPerTrigger.foreach(n => r.option("maxRowsPerTrigger", n))
     r.load(root)
   }
 
@@ -477,8 +479,13 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir.toString)
     // table-level schema: authoritative under a partition layout (files
-    // alone cannot reproduce the partition columns or their types)
-    writeAtomic(p("SCHEMA"), df.schema.json)
+    // alone cannot reproduce the partition columns or their types).
+    // Stored all-NULLABLE: schema evolution means older files read the
+    // column as null, and a null under a non-nullable schema silently
+    // corrupts to 0/"" downstream (same convention as Spark's own file
+    // sources, which always report parquet columns nullable).
+    writeAtomic(p("SCHEMA"), org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true))).json)
     if (partitionBy.nonEmpty && partCols != partitionBy)
       writeAtomic(p("PARTCOLS"), partitionBy.mkString(","))
 

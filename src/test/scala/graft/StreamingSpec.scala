@@ -979,6 +979,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(run(1L << 40) == Seq(20020L))
   }
 
+  test("V2 source: row budget admits whole versions from manifest counts") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_v2_rows").toString)
+    t.commit((0 until 500).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1), 0L)
+    t.commit((0 until 300).map(i => (i.toLong, "s")).toDF("id", "v").coalesce(1), 1L)
+    t.commit((0 until 300).map(i => (i.toLong, "s")).toDF("id", "v").coalesce(1), 2L)
+
+    def run(budget: Long): Seq[Long] = {
+      val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = t.readStream(s, maxFilesPerTrigger = 1000, maxRowsPerTrigger = Some(budget))
+        .writeStream
+        .option("checkpointLocation", Files.createTempDirectory("ckpt_rows").toString)
+        .foreachBatch((df: DataFrame, _: Long) => { counts += df.count(); () })
+        .start()
+      q.processAllAvailable(); q.stop()
+      counts.toSeq.filter(_ > 0)
+    }
+    // 800 rows: v1 (500) + v2 (300) fit, v3 would overflow
+    assert(run(800L) == Seq(800L, 300L))
+    // budget below any version: one version per trigger (stream advances)
+    assert(run(1L) == Seq(500L, 300L, 300L))
+  }
+
+  test("schema evolution: a column added later reads as null from old files") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_evolve").toString)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    // batch 1 adds a column; SCHEMA metadata now carries the widest schema
+    t.commit(Seq((3L, "c", 9L)).toDF("id", "v", "extra"), 1L)
+    val read = s.read.format(classOf[graft.table.GraftSourceProvider].getName).load(t.root)
+    assert(read.columns.toSeq == Seq("id", "v", "extra"),
+      "inferSchema must serve the latest committed schema")
+    val got = read.collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", null), (2L, "b", null), (3L, "c", 9L)))
+  }
+
   test("V2 source: array/map/struct columns round-trip the change stream") {
     val s = spark
     import s.implicits._
