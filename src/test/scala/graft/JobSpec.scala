@@ -83,6 +83,31 @@ class JobSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq == Seq("r-login-ok"))
   }
 
+  test("streaming pipeline into a partition-layout sink keeps the dir layout per batch") {
+    val s = spark
+    import s.implicits._
+    val srcRoot = Files.createTempDirectory("tbl_src_p").toString
+    val dstRoot = Files.createTempDirectory("tbl_dst_p").toString
+    val src = new GraftTable(srcRoot)
+    val dst = new GraftTable(dstRoot)
+    def clips(from: Int, to: Int, codec: String) = (from until to)
+      .map(i => Clip(f"clip-t${i % 3}-s0-$i%010d", 16000, 300, codec,
+        "login ok", TestSpark.T0, 1L, i.toLong)).toDF()
+    src.commit(clips(0, 10, "wav").union(clips(10, 20, "pcm_s16le")), 0L)
+    src.commit(clips(20, 30, "wav"), 1L)
+    val q = graft.streaming.StreamingJobs.events(s, src.readStream(s))
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("tbl_ckpt_p").toString)
+      .foreachBatch(new graft.table.ExactlyOnceSink(dst, partitionBy = Seq("codec")).write _)
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(dst.read(s).count() == 30)
+    assert(dst.dataFiles.forall(_.contains("codec=")), "every file under a codec dir")
+    assert(dst.read(s).filter(col("codec") === "wav").count() == 20)
+    // the partition column survives the round trip with per-batch commits
+    assert(dst.partCols == Seq("codec") && dst.layout == Seq("codec"))
+  }
+
   test("streaming source is manifest-gated: uncommitted data files invisible") {
     val s = spark
     import s.implicits._
