@@ -1003,6 +1003,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(run(1L) == Seq(500L, 300L, 300L))
   }
 
+  test("a built scan pins its snapshot: stats/partitioning/planning see ONE version") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_pin").toString)
+    t.commit(Seq((1L, "a")).toDF("id", "v"), 0L)
+    val schema = t.schemaOf.get
+    val v2 = new graft.table.GraftV2Table(t.root, schema)
+    import scala.jdk.CollectionConverters._
+    val scan = v2.newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map("path" -> t.root).asJava)).build().asInstanceOf[graft.table.GraftScan]
+    val statsBefore = scan.estimateStatistics().numRows().getAsLong
+    // a concurrent commit lands between logical planning and execution…
+    t.commit(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), 1L)
+    // …but THIS scan's partitions and stats stay on the planned snapshot
+    val rows = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[graft.table.GraftInputPartition].rows).sum
+    assert(statsBefore == 1L && rows == 1L,
+      s"scan must stay pinned to its construction-time snapshot (stats=$statsBefore rows=$rows)")
+    // a NEW scan sees the new version
+    val scan2 = v2.newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map("path" -> t.root).asJava)).build().asInstanceOf[graft.table.GraftScan]
+    assert(scan2.estimateStatistics().numRows().getAsLong == 3L)
+  }
+
+  test("vacuum reclaims nested partition-layout files after compaction") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_vac_p").toString)
+    val sink = new ExactlyOnceSink(t, partitionBy = Seq("codec"))
+    sink.write(Seq((1L, "wav"), (2L, "opus")).toDF("id", "codec"), 0L)
+    sink.write(Seq((3L, "wav")).toDF("id", "codec"), 1L)
+    val preCompact = t.dataFiles.toSet
+    t.compact(s, targetFiles = 1)
+    val deleted = t.vacuum(t.version)
+    assert(deleted == preCompact.size,
+      s"all $preCompact pre-compaction nested files must be reclaimed, deleted=$deleted")
+    assert(preCompact.forall(f => !java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
+    // the table remains fully readable from the rewrite, layout intact
+    assert(t.read(s).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(t.dataFiles.forall(_.contains("codec=")))
+  }
+
   test("schema evolution: a column added later reads as null from old files") {
     val s = spark
     import s.implicits._
