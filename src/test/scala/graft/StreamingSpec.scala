@@ -923,6 +923,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.readVersion(s, 1L).count() == 4)
   }
 
+  test("bucket(clip_id) layout: same-bucketed tables join shuffle-free incl. the id key") {
+    val s = spark
+    import s.implicits._
+    // the bucket(clip_id) story without a custom FunctionCatalog: the
+    // writer materializes bucket_id = pmod(hash(clip_id), N) and
+    // partitionBys it; both tables share the layout, so the join keyed on
+    // (bucket_id, clip_id) satisfies its distribution from the
+    // KeyGroupedPartitioning(bucket_id) both scans report — no exchange,
+    // co-located file groups, exactly the Iceberg bucket-join shape
+    def mk(n: Int): GraftTable = {
+      val t = new GraftTable(Files.createTempDirectory("graft_bucket").toString)
+      val df = (0 until n).map(i => (f"clip-$i%06d", i.toLong)).toDF("clip_id", "score")
+        .withColumn("bucket_id", pmod(hash(col("clip_id")), lit(8)))
+      new ExactlyOnceSink(t, partitionBy = Seq("bucket_id")).write(df, 0L)
+      t
+    }
+    val (ta, tb) = (mk(400), mk(800))
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // both sides share the SAME bucket function and layout, so clustering
+    // on the bucket subset of the join keys co-locates all matches —
+    // Spark's default requires partition keys == ALL join keys
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      def rd(t: GraftTable) =
+        s.read.format(classOf[graft.table.GraftSourceProvider].getName).load(t.root)
+      val j = rd(ta).join(rd(tb).withColumnRenamed("score", "score_b"),
+        Seq("bucket_id", "clip_id"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"same-bucket-layout join must not shuffle:\n$plan")
+      assert(j.count() == 400)
+    } finally {
+      s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+    }
+  }
+
   test("partition layout: same-layout tables join WITHOUT a shuffle on the key") {
     val s = spark
     import s.implicits._
