@@ -17,8 +17,13 @@ import graft.table.{ExactlyOnceSink, GraftTable}
   *     --input <clipTableDir> --output <graftTableRoot> \
   *     --checkpoint <dir> [--status-filter fail,error] \
   *     [--job events|pipeline|windows|sessions|cep] \
-  *     [--max-files-per-trigger 32] [--max-bytes-per-trigger N] [--once] \
+  *     [--max-files-per-trigger 32] [--max-bytes-per-trigger N] \
+  *     [--max-rows-per-trigger N  (graft-table inputs)] [--once] \
   *     [--partition-by codec[,col2]]
+  *
+  * `--input` may be a plain parquet directory (Spark file source) or a
+  * graft-table root (auto-detected via its VERSION file → V2 source with
+  * manifest-exact offsets and the files/bytes/rows admission triple).
   *
   * Config validation mirrors the reference (C1, config.go): status_filter
   * values outside {pass,fail,error,skip} are rejected, case-sensitively.
@@ -29,6 +34,7 @@ object Main {
                           checkpoint: String = "", statusFilter: Seq[String] = Nil,
                           maxFilesPerTrigger: Int = 32,
                           maxBytesPerTrigger: Option[Long] = None,
+                          maxRowsPerTrigger: Option[Long] = None,
                           once: Boolean = true,
                           job: String = "events", rocksdb: Boolean = false,
                           enabled: Boolean = true, lineage: Boolean = false,
@@ -48,6 +54,9 @@ object Main {
       // memory_limiter analog (reference ocb/config.yaml:29-31): a BYTE
       // ceiling per micro-batch — file sizes vary ~100× after compaction
       case "--max-bytes-per-trigger" :: v :: t => loop(t, c.copy(maxBytesPerTrigger = Some(v.toLong)))
+      // row ceiling per micro-batch — served from exact manifest counts;
+      // graft-table inputs only (Spark's file source has no row limit)
+      case "--max-rows-per-trigger" :: v :: t => loop(t, c.copy(maxRowsPerTrigger = Some(v.toLong)))
       case "--job" :: v :: t => loop(t, c.copy(job = v))
       case "--rocksdb" :: t => loop(t, c.copy(rocksdb = true))
       // reference `enabled: false` (config.go:8-25): identity pass-through
@@ -100,11 +109,28 @@ object Main {
     val sink = new ExactlyOnceSink(table, lineage = conf.lineage,
       partitionBy = conf.partitionBy)
 
-    val schema = spark.read.parquet(conf.input).schema
-    val reader = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
-    conf.maxBytesPerTrigger.foreach(b => reader.option("maxBytesPerTrigger", b))
-    val clips = reader.parquet(conf.input)
+    // input auto-detection: a graft-table root (VERSION file) streams
+    // through the V2 source — manifest-exact offsets plus the full
+    // files/bytes/ROWS admission triple; a plain directory uses Spark's
+    // file source (files/bytes budgets only)
+    val isGraftTable = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(conf.input, "VERSION"))
+    val clips =
+      if (isGraftTable)
+        new GraftTable(conf.input).readStream(spark, conf.maxFilesPerTrigger,
+          conf.maxBytesPerTrigger, conf.maxRowsPerTrigger)
+      else {
+        conf.maxRowsPerTrigger.foreach { _ =>
+          System.err.println("[graft] --max-rows-per-trigger requires a graft-table " +
+            "input (Spark's file source admits by files/bytes only)")
+          sys.exit(2)
+        }
+        val schema = spark.read.parquet(conf.input).schema
+        val reader = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
+        conf.maxBytesPerTrigger.foreach(b => reader.option("maxBytesPerTrigger", b))
+        reader.parquet(conf.input)
+      }
     val out =
       if (!conf.enabled) clips // reference enabled=false: identity pass-through
       else conf.job match {

@@ -266,7 +266,13 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     else if (partitioned)
       spark.read.format(classOf[GraftSourceProvider].getName)
         .option("version", v).load(root)
-    else spark.read.parquet(files: _*)
+    else schemaOf match {
+      // explicit table schema keeps the fast vectorized reader AND
+      // schema evolution: files missing a later-added column read it as
+      // null instead of the column vanishing from one sampled footer
+      case Some(sc) => spark.read.schema(sc).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 
   /** Incremental streaming read over the table (S1 analog: the unbounded
@@ -448,6 +454,48 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
       s"""{"path":${jsonStr(fi.path)},"rows":${fi.rows},"bytes":${fi.bytes},"stats":$statsJson$pvJson}"""
     }.mkString("[", ",", "]")
 
+  /** Relax nullability RECURSIVELY (struct fields, array elements, map
+    * values): evolution can introduce nulls at any depth, and a null slot
+    * under a non-nullable declared type reads back as 0/"" in codegen. */
+  private def deepNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(deepNullable(a.elementType), containsNull = true)
+      case m: MapType => MapType(deepNullable(m.keyType), deepNullable(m.valueType),
+        valueContainsNull = true)
+      case other => other
+    }
+  }
+  private def deepNullable(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    deepNullable(s: org.apache.spark.sql.types.DataType)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** Table schema = union of every committed batch's columns (existing
+    * order first, new columns appended). A same-name column with a
+    * DIFFERENT type is a schema migration this table format does not
+    * perform implicitly — fail the commit loudly rather than silently
+    * re-typing history. */
+  private def mergeSchemas(existing: Option[org.apache.spark.sql.types.StructType],
+                           incoming: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    existing match {
+      case None => incoming
+      case Some(old) =>
+        val byName = incoming.fields.map(f => f.name -> f).toMap
+        old.fields.foreach { f =>
+          byName.get(f.name).foreach { n =>
+            require(n.dataType == f.dataType,
+              s"column ${f.name}: committed type ${f.dataType.simpleString} != " +
+                s"incoming ${n.dataType.simpleString} — implicit type migration is not supported")
+          }
+        }
+        val oldNames = old.fields.map(_.name).toSet
+        StructType(old.fields ++ incoming.fields.filterNot(f => oldNames.contains(f.name)))
+    }
+  }
+
   /** Partition-column types whose `col=value` path rendering round-trips
     * losslessly through write → dir name → re-injection. */
   private def partitionable(dt: org.apache.spark.sql.types.DataType): Boolean = {
@@ -480,12 +528,12 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
       .parquet(dataDir.toString)
     // table-level schema: authoritative under a partition layout (files
     // alone cannot reproduce the partition columns or their types).
-    // Stored all-NULLABLE: schema evolution means older files read the
-    // column as null, and a null under a non-nullable schema silently
-    // corrupts to 0/"" downstream (same convention as Spark's own file
-    // sources, which always report parquet columns nullable).
-    writeAtomic(p("SCHEMA"), org.apache.spark.sql.types.StructType(
-      df.schema.fields.map(_.copy(nullable = true))).json)
+    // MERGED, not overwritten: a later batch missing an optional column
+    // must not make earlier committed data unqueryable. Stored deeply
+    // NULLABLE: schema evolution means older files read the column as
+    // null, and a null under a non-nullable schema silently corrupts to
+    // 0/"" downstream (same convention as Spark's own file sources).
+    writeAtomic(p("SCHEMA"), mergeSchemas(schemaOf, deepNullable(df.schema)).json)
     if (partitionBy.nonEmpty && partCols != partitionBy)
       writeAtomic(p("PARTCOLS"), partitionBy.mkString(","))
 

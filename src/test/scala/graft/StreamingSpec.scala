@@ -1153,6 +1153,19 @@ class StreamingSpec extends AnyFunSuite {
     val got = read.collect().map(r =>
       (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getLong(2))).sortBy(_._1)
     assert(got.toSeq == Seq((1L, "a", null), (2L, "b", null), (3L, "c", 9L)))
+    // the native-parquet read path agrees (explicit table schema — a
+    // sampled footer would otherwise drop 'extra')
+    assert(t.read(s).columns.toSeq == Seq("id", "v", "extra"))
+    assert(t.read(s).filter(col("extra").isNotNull).count() == 1L)
+    // a LATER batch missing the column must not shrink the table schema
+    t.commit(Seq((4L, "d")).toDF("id", "v"), 2L)
+    assert(t.schemaOf.get.fieldNames.toSeq == Seq("id", "v", "extra"),
+      "SCHEMA is a union of committed columns, not the last batch's")
+    assert(t.read(s).count() == 4L)
+    // an implicit type migration fails loudly instead of re-typing history
+    val e = intercept[IllegalArgumentException](
+      t.commit(Seq((5L, 7L)).toDF("id", "v"), 3L))
+    assert(e.getMessage.contains("type migration"))
   }
 
   test("V2 source: array/map/struct columns round-trip the change stream") {
