@@ -689,30 +689,87 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
   * Note: clusterBy introduces one shuffle per micro-batch; leave it empty
   * for strictly map-only sinks (lineage row order is per-FILE after
   * clustering, not source order). */
+/** Z-order clustering: interleave the bit patterns of two normalized
+  * dimensions so rows close in EITHER dimension land in the same files —
+  * per-file min/max stats then prune filters on either column alone
+  * (single-column range clustering only prunes its leading column).
+  * Pure column algebra (shift/and/or bit spreading), whole-stage
+  * codegen'd; normalization is per-batch min/max (one tiny agg job),
+  * 16 bits per dimension. */
+object Zorder {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Spread the low 16 bits of `x` to even bit positions (classic
+    * morton-code magic numbers, as column ops). */
+  private def spread(x: Column): Column = {
+    val a = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(0x33333333L))
+    (c.bitwiseOR(shiftleft(c, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit morton code of two 16-bit normalized dimensions. */
+  def interleave(a16: Column, b16: Column): Column =
+    spread(a16).bitwiseOR(shiftleft(spread(b16), 1))
+
+  /** Normalize a numeric/timestamp column to [0, 65535] given batch
+    * bounds (nulls → 0: they sort first, matching stats exclusion). */
+  def normalize16(c: Column, min: Column, max: Column): Column = {
+    val span = max.cast("double") - min.cast("double")
+    val scaled = when(span <= 0D || c.isNull, 0L).otherwise(
+      ((c.cast("double") - min.cast("double")) / span * 65535D).cast("long"))
+    least(greatest(scaled, lit(0L)), lit(65535L))
+  }
+
+  /** df with a `_z` morton column over two dimensions, normalized by the
+    * batch's own min/max (one driver-side agg over the batch). */
+  def withZ(df: DataFrame, dims: (String, String)): DataFrame = {
+    val (a, b) = dims
+    val r = df.agg(min(col(a)).as("a0"), max(col(a)).as("a1"),
+      min(col(b)).as("b0"), max(col(b)).as("b1")).head()
+    def l(i: Int): Column = lit(r.get(i))
+    df.withColumn("_z", interleave(normalize16(col(a), l(0), l(1)),
+      normalize16(col(b), l(2), l(3))))
+  }
+}
+
 final class ExactlyOnceSink(table: GraftTable,
                             metrics: Long => Map[String, Long] = _ => Map.empty,
                             lineage: Boolean = false,
                             clusterBy: Seq[String] = Nil,
                             clusterFiles: Option[Int] = None,
-                            partitionBy: Seq[String] = Nil) {
+                            partitionBy: Seq[String] = Nil,
+                            zorderBy: Option[(String, String)] = None) {
   // advertise the layout so readers can discover it (storage-partitioned
   // scans); stats-verified at read time, so a pre-layout history is safe.
   // partitionBy wins: its files are single-valued BY CONSTRUCTION (one
   // directory per value), while clusterBy purity depends on range
-  // boundaries landing between values.
+  // boundaries landing between values. (zorderBy is a pruning layout,
+  // not a key layout — z-neighbor files are multi-valued by design.)
   if (partitionBy.nonEmpty) table.setLayout(partitionBy)
   else if (clusterBy.nonEmpty) table.setLayout(clusterBy)
 
   def write(df: DataFrame, batchId: Long): Unit = {
-    val clustered =
-      if (clusterBy.isEmpty) df
-      else {
+    val clustered = zorderBy match {
+      case Some(dims) =>
+        // morton-order range clustering: each file covers a small 2-D
+        // tile, so per-file min/max stats are narrow in BOTH dimensions —
+        // equality/range filters on EITHER column prune (a single-column
+        // range layout only prunes its own column)
+        val z = Zorder.withZ(df, dims)
+        (clusterFiles match {
+          case Some(n) => z.repartitionByRange(n, col("_z"))
+          case None => z.repartitionByRange(col("_z"))
+        }).sortWithinPartitions(col("_z")).drop("_z")
+      case None if clusterBy.isEmpty => df
+      case None =>
         val cols = clusterBy.map(col)
         (clusterFiles match {
           case Some(n) => df.repartitionByRange(n, cols: _*)
           case None => df.repartitionByRange(cols: _*)
         }).sortWithinPartitions(cols: _*)
-      }
+    }
     val out =
       if (!lineage) clustered
       else clustered

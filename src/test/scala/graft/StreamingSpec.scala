@@ -1118,6 +1118,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.dataFiles.forall(_.contains("codec=")))
   }
 
+  test("z-order layout: files prune on EITHER dimension; range layout only on its own") {
+    val s = spark
+    import s.implicits._
+    def grid(n: Int) = (0 until n).map(i => (i.toLong, ((i * 7919L) % n))).toDF("x", "y")
+      .repartition(8)
+    def provider = classOf[graft.table.GraftSourceProvider].getName
+    // z-ordered table: 16 files ≈ 4×4 tiles of the (x, y) plane
+    val tz = new GraftTable(Files.createTempDirectory("graft_z").toString)
+    new ExactlyOnceSink(tz, clusterFiles = Some(16), zorderBy = Some(("x", "y")))
+      .write(grid(20000), 0L)
+    val rz = s.read.format(provider).load(tz.root)
+    val all = rz.rdd.getNumPartitions
+    val zx = rz.filter(col("x") < 1000L)
+    val zy = rz.filter(col("y") < 1000L)
+    assert(zx.rdd.getNumPartitions <= all / 2 && zy.rdd.getNumPartitions <= all / 2,
+      s"z-order should prune both dims: x=${zx.rdd.getNumPartitions} " +
+        s"y=${zy.rdd.getNumPartitions} of $all")
+    assert(zx.count() == 1000 && zy.count() == 1000)
+    // control: single-column range layout prunes x but NOT y
+    val tr = new GraftTable(Files.createTempDirectory("graft_r").toString)
+    new ExactlyOnceSink(tr, clusterBy = Seq("x"), clusterFiles = Some(16))
+      .write(grid(20000), 0L)
+    val rr = s.read.format(provider).load(tr.root)
+    val rAll = rr.rdd.getNumPartitions
+    assert(rr.filter(col("x") < 1000L).rdd.getNumPartitions <= rAll / 2)
+    assert(rr.filter(col("y") < 1000L).rdd.getNumPartitions == rAll,
+      "a range layout on x cannot prune y — the z-order contrast")
+  }
+
   test("partition values with special characters round-trip the path encoding") {
     val s = spark
     import s.implicits._
