@@ -80,8 +80,29 @@ object Main {
     }
   }
 
+  /** A graft-table root, not just any dir with a VERSION file: the
+    * pointer must parse as a version AND the table's metadata dirs must
+    * exist — a plain parquet directory with a stray VERSION artifact must
+    * keep streaming through the file source. */
+  private def isGraftTableRoot(dir: String): Boolean = {
+    val root = java.nio.file.Paths.get(dir)
+    val vf = root.resolve("VERSION")
+    java.nio.file.Files.exists(vf) &&
+      java.nio.file.Files.isDirectory(root.resolve("snapshots")) &&
+      java.nio.file.Files.isDirectory(root.resolve("manifests")) &&
+      scala.util.Try(new String(java.nio.file.Files.readAllBytes(vf),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).isSuccess
+  }
+
   def main(args: Array[String]): Unit = {
     val conf = parseArgs(args).fold(e => { System.err.println(s"[graft] $e"); sys.exit(2) }, identity)
+    // upfront (C1): needs only the parsed config + a filesystem probe —
+    // reject BEFORE the session starts or the sink touches the output
+    if (conf.maxRowsPerTrigger.isDefined && !isGraftTableRoot(conf.input)) {
+      System.err.println("[graft] --max-rows-per-trigger requires a graft-table " +
+        "input (Spark's file source admits by files/bytes only)")
+      sys.exit(2)
+    }
     val builder0 = SparkSession.builder()
       .appName("graft-streaming-cep")
       .config("spark.sql.session.timeZone", "UTC")
@@ -109,22 +130,15 @@ object Main {
     val sink = new ExactlyOnceSink(table, lineage = conf.lineage,
       partitionBy = conf.partitionBy)
 
-    // input auto-detection: a graft-table root (VERSION file) streams
-    // through the V2 source — manifest-exact offsets plus the full
-    // files/bytes/ROWS admission triple; a plain directory uses Spark's
-    // file source (files/bytes budgets only)
-    val isGraftTable = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(conf.input, "VERSION"))
+    // input auto-detection: a graft-table root streams through the V2
+    // source — manifest-exact offsets plus the full files/bytes/ROWS
+    // admission triple; a plain directory uses Spark's file source
+    // (files/bytes budgets only)
     val clips =
-      if (isGraftTable)
+      if (isGraftTableRoot(conf.input))
         new GraftTable(conf.input).readStream(spark, conf.maxFilesPerTrigger,
           conf.maxBytesPerTrigger, conf.maxRowsPerTrigger)
       else {
-        conf.maxRowsPerTrigger.foreach { _ =>
-          System.err.println("[graft] --max-rows-per-trigger requires a graft-table " +
-            "input (Spark's file source admits by files/bytes only)")
-          sys.exit(2)
-        }
         val schema = spark.read.parquet(conf.input).schema
         val reader = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)

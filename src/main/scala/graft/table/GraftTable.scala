@@ -251,10 +251,13 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
 
   def read(spark: SparkSession): DataFrame = readVersion(spark, version)
 
-  /** Time travel: read the table exactly as of snapshot `v` (snapshots are
-    * immutable manifest lists, so any historical version stays readable).
-    * Partition-layout snapshots route through the V2 source, which
-    * re-injects the directory-encoded partition columns. */
+  /** Time travel: read the table's DATA exactly as of snapshot `v`
+    * (snapshots are immutable manifest lists, so any historical version
+    * stays readable). Columns follow the table's CURRENT union schema —
+    * a column added after `v` appears as all-null (per-snapshot schema
+    * tracking is intentionally out of scope; rows are exact). Partition-
+    * layout snapshots route through the V2 source, which re-injects the
+    * directory-encoded partition columns. */
   def readVersion(spark: SparkSession, v: Long): DataFrame = {
     require(v >= 0 && v <= version, s"snapshot v$v does not exist (latest: v$version)")
     val (files, partitioned) = synchronized {
@@ -486,7 +489,12 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
         val byName = incoming.fields.map(f => f.name -> f).toMap
         old.fields.foreach { f =>
           byName.get(f.name).foreach { n =>
-            require(n.dataType == f.dataType,
+            // nullability-NORMALIZED comparison: SCHEMA files written
+            // before deep relaxation carry non-nullable nested metadata,
+            // and StructType equality is nullability-sensitive — an
+            // unnormalized check would wedge every future commit to such
+            // a table behind a bogus "type migration" error
+            require(deepNullable(n.dataType) == deepNullable(f.dataType),
               s"column ${f.name}: committed type ${f.dataType.simpleString} != " +
                 s"incoming ${n.dataType.simpleString} — implicit type migration is not supported")
           }
@@ -522,10 +530,6 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
         s"partition column $c: ${f.dataType.simpleString} does not round-trip " +
           "through a path segment (use string/int/long/short/byte/boolean/date)")
     }
-    val dataDir = p("data", s"batch=$batchId")
-    val writer = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(dataDir.toString)
     // table-level schema: authoritative under a partition layout (files
     // alone cannot reproduce the partition columns or their types).
     // MERGED, not overwritten: a later batch missing an optional column
@@ -533,7 +537,16 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     // NULLABLE: schema evolution means older files read the column as
     // null, and a null under a non-nullable schema silently corrupts to
     // 0/"" downstream (same convention as Spark's own file sources).
-    writeAtomic(p("SCHEMA"), mergeSchemas(schemaOf, deepNullable(df.schema)).json)
+    // Merged (and thus type-validated) BEFORE the data write: a rejected
+    // schema must fail fast, not after paying — and orphaning — a full
+    // batch's parquet output on every retry.
+    val mergedSchema = mergeSchemas(schemaOf, deepNullable(df.schema))
+
+    val dataDir = p("data", s"batch=$batchId")
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dataDir.toString)
+    writeAtomic(p("SCHEMA"), mergedSchema.json)
     if (partitionBy.nonEmpty && partCols != partitionBy)
       writeAtomic(p("PARTCOLS"), partitionBy.mkString(","))
 
@@ -714,22 +727,32 @@ object Zorder {
     spread(a16).bitwiseOR(shiftleft(spread(b16), 1))
 
   /** Normalize a numeric/timestamp column to [0, 65535] given batch
-    * bounds (nulls → 0: they sort first, matching stats exclusion). */
+    * bounds. Nulls and every non-finite case (NaN value, NaN/zero/
+    * infinite span) collapse to 0, and clamping happens in DOUBLE space
+    * BEFORE the long cast — under Spark 4's default ANSI mode a
+    * CAST(NaN/∞ AS BIGINT) throws and would wedge the stream on one bad
+    * row; clamped finite doubles always cast safely. */
   def normalize16(c: Column, min: Column, max: Column): Column = {
+    val cd = c.cast("double")
     val span = max.cast("double") - min.cast("double")
-    val scaled = when(span <= 0D || c.isNull, 0L).otherwise(
-      ((c.cast("double") - min.cast("double")) / span * 65535D).cast("long"))
-    least(greatest(scaled, lit(0L)), lit(65535L))
+    val frac = (cd - min.cast("double")) / span * 65535D
+    when(c.isNull || isnan(cd) || isnan(span) || span <= 0D || isnan(frac), 0D)
+      .otherwise(least(greatest(frac, lit(0D)), lit(65535D)))
+      .cast("long")
   }
 
-  /** df with a `_z` morton column over two dimensions, normalized by the
-    * batch's own min/max (one driver-side agg over the batch). */
+  private[table] val ZCol = "_graft_zorder"
+
+  /** df with a [[ZCol]] morton column over two dimensions, normalized by
+    * the batch's own min/max. */
   def withZ(df: DataFrame, dims: (String, String)): DataFrame = {
     val (a, b) = dims
+    require(!df.columns.contains(ZCol),
+      s"column name $ZCol is reserved by the z-order writer")
     val r = df.agg(min(col(a)).as("a0"), max(col(a)).as("a1"),
       min(col(b)).as("b0"), max(col(b)).as("b1")).head()
     def l(i: Int): Column = lit(r.get(i))
-    df.withColumn("_z", interleave(normalize16(col(a), l(0), l(1)),
+    df.withColumn(ZCol, interleave(normalize16(col(a), l(0), l(1)),
       normalize16(col(b), l(2), l(3))))
   }
 }
@@ -747,37 +770,45 @@ final class ExactlyOnceSink(table: GraftTable,
   // directory per value), while clusterBy purity depends on range
   // boundaries landing between values. (zorderBy is a pruning layout,
   // not a key layout — z-neighbor files are multi-valued by design.)
+  require(zorderBy.isEmpty || clusterBy.isEmpty,
+    "zorderBy and clusterBy are mutually exclusive — one write order per file")
   if (partitionBy.nonEmpty) table.setLayout(partitionBy)
   else if (clusterBy.nonEmpty) table.setLayout(clusterBy)
 
   def write(df: DataFrame, batchId: Long): Unit = {
-    val clustered = zorderBy match {
-      case Some(dims) =>
-        // morton-order range clustering: each file covers a small 2-D
-        // tile, so per-file min/max stats are narrow in BOTH dimensions —
-        // equality/range filters on EITHER column prune (a single-column
-        // range layout only prunes its own column)
-        val z = Zorder.withZ(df, dims)
-        (clusterFiles match {
-          case Some(n) => z.repartitionByRange(n, col("_z"))
-          case None => z.repartitionByRange(col("_z"))
-        }).sortWithinPartitions(col("_z")).drop("_z")
-      case None if clusterBy.isEmpty => df
-      case None =>
-        val cols = clusterBy.map(col)
-        (clusterFiles match {
-          case Some(n) => df.repartitionByRange(n, cols: _*)
-          case None => df.repartitionByRange(cols: _*)
-        }).sortWithinPartitions(cols: _*)
-    }
-    val out =
-      if (!lineage) clustered
-      else clustered
-        .withColumn("_lineage_batch", lit(batchId))
-        .withColumn("_lineage_part", spark_partition_id().cast("long"))
-        // low 33 bits of monotonically_increasing_id = per-partition counter
-        .withColumn("_lineage_row",
-          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-    table.commit(out, batchId, metrics(batchId), partitionBy)
+    // z-order needs a bounds agg BEFORE the write; in foreachBatch every
+    // action recomputes the batch plan, so cache it for the two passes
+    val src = if (zorderBy.isDefined) df.persist() else df
+    try {
+      val clustered = zorderBy match {
+        case Some(dims) =>
+          // morton-order range clustering: each file covers a small 2-D
+          // tile, so per-file min/max stats are narrow in BOTH dimensions —
+          // equality/range filters on EITHER column prune (a single-column
+          // range layout only prunes its own column)
+          val z = Zorder.withZ(src, dims)
+          (clusterFiles match {
+            case Some(n) => z.repartitionByRange(n, col(Zorder.ZCol))
+            case None => z.repartitionByRange(col(Zorder.ZCol))
+          }).sortWithinPartitions(col(Zorder.ZCol)).drop(Zorder.ZCol)
+        case None if clusterBy.isEmpty => src
+        case None =>
+          val cols = clusterBy.map(col)
+          (clusterFiles match {
+            case Some(n) => src.repartitionByRange(n, cols: _*)
+            case None => src.repartitionByRange(cols: _*)
+          }).sortWithinPartitions(cols: _*)
+      }
+      val out =
+        if (!lineage) clustered
+        else clustered
+          .withColumn("_lineage_batch", lit(batchId))
+          .withColumn("_lineage_part", spark_partition_id().cast("long"))
+          // low 33 bits of monotonically_increasing_id = per-partition counter
+          .withColumn("_lineage_row",
+            monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      table.commit(out, batchId, metrics(batchId), partitionBy)
+      ()
+    } finally if (zorderBy.isDefined) { src.unpersist(); () }
   }
 }
