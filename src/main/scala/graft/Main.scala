@@ -21,6 +21,10 @@ import graft.table.{ExactlyOnceSink, GraftTable}
   *     [--max-rows-per-trigger N  (graft-table inputs)] [--once] \
   *     [--partition-by codec[,col2]]
   *
+  * Table maintenance (only --output needed):
+  *   --job compact [--target-files 32]    small-file compaction
+  *   --job vacuum  --keep-from <version>  snapshot retention
+  *
   * `--input` may be a plain parquet directory (Spark file source) or a
   * graft-table root (auto-detected via its VERSION file → V2 source with
   * manifest-exact offsets and the files/bytes/rows admission triple).
@@ -38,9 +42,14 @@ object Main {
                           once: Boolean = true,
                           job: String = "events", rocksdb: Boolean = false,
                           enabled: Boolean = true, lineage: Boolean = false,
-                          partitionBy: Seq[String] = Nil)
+                          partitionBy: Seq[String] = Nil,
+                          targetFiles: Int = 32, keepFrom: Option[Long] = None)
 
-  val ValidJobs: Set[String] = Set("events", "pipeline", "windows", "sessions", "cep")
+  val ValidJobs: Set[String] =
+    Set("events", "pipeline", "windows", "sessions", "cep", "compact", "vacuum")
+
+  /** Table-maintenance jobs: operate on --output only (no stream). */
+  val MaintenanceJobs: Set[String] = Set("compact", "vacuum")
 
   def parseArgs(args: Array[String]): Either[String, Config] = {
     def loop(rest: List[String], c: Config): Either[String, Config] = rest match {
@@ -62,6 +71,9 @@ object Main {
       // reference `enabled: false` (config.go:8-25): identity pass-through
       case "--disabled" :: t => loop(t, c.copy(enabled = false))
       case "--lineage" :: t => loop(t, c.copy(lineage = true))
+      // maintenance-job knobs: small-file compaction size / vacuum floor
+      case "--target-files" :: v :: t => loop(t, c.copy(targetFiles = v.toInt))
+      case "--keep-from" :: v :: t => loop(t, c.copy(keepFrom = Some(v.toLong)))
       // Hive-style directory layout on the sink table: value-pure files
       // enable exact partition pruning and shuffle-free storage-partitioned
       // aggregation/joins on these columns (low-cardinality columns only)
@@ -72,7 +84,13 @@ object Main {
       case other :: _ => Left(s"unknown argument: $other")
     }
     loop(args.toList, Config()).flatMap { c =>
-      if (c.input.isEmpty || c.output.isEmpty || c.checkpoint.isEmpty)
+      if (MaintenanceJobs.contains(c.job)) {
+        if (c.output.isEmpty) Left(s"--output is required for --job ${c.job}")
+        else if (c.job == "vacuum" && c.keepFrom.isEmpty)
+          Left("--keep-from <version> is required for --job vacuum")
+        else Right(c)
+      }
+      else if (c.input.isEmpty || c.output.isEmpty || c.checkpoint.isEmpty)
         Left("--input, --output and --checkpoint are required")
       else if (!ValidJobs.contains(c.job))
         Left(s"invalid --job '${c.job}' (valid: ${ValidJobs.mkString(",")})")
@@ -123,6 +141,21 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.AudioFunctions.register(spark)
+
+    // table maintenance: no stream, no checkpoint — operate on --output
+    if (MaintenanceJobs.contains(conf.job)) {
+      val table = new GraftTable(conf.output)
+      conf.job match {
+        case "compact" =>
+          val v = table.compact(spark, conf.targetFiles)
+          println(s"""{"job":"compact","new_version":$v,"files":${table.dataFiles.size}}""")
+        case _ =>
+          val deleted = table.vacuum(conf.keepFrom.get)
+          println(s"""{"job":"vacuum","deleted_files":$deleted,"version":${table.version}}""")
+      }
+      spark.stop()
+      return
+    }
 
     val listener = new Metrics.Listener(persistRoot = Some(conf.output))
     spark.streams.addListener(listener)

@@ -36,6 +36,12 @@ class JobSpec extends AnyFunSuite {
     assert(Main.parseArgs(Array("--input", "i", "--output", "o",
       "--checkpoint", "c", "--partition-by", "codec,sr_hz"))
       .exists(_.partitionBy == Seq("codec", "sr_hz")))
+    // maintenance jobs need only --output (+ --keep-from for vacuum)
+    assert(Main.parseArgs(Array("--job", "compact", "--output", "o",
+      "--target-files", "8")).exists(c => c.job == "compact" && c.targetFiles == 8))
+    assert(Main.parseArgs(Array("--job", "vacuum", "--output", "o")).isLeft)
+    assert(Main.parseArgs(Array("--job", "vacuum", "--output", "o",
+      "--keep-from", "3")).exists(_.keepFrom.contains(3L)))
   }
 
   test("disabled processor is a whole-stream identity pass-through") {

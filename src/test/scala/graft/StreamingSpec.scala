@@ -1147,6 +1147,21 @@ class StreamingSpec extends AnyFunSuite {
       "a range layout on x cannot prune y — the z-order contrast")
   }
 
+  test("z-order survives NaN/Infinity rows under ANSI (no cast crash, rows kept)") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_z_nan").toString)
+    val df = Seq((1L, 1.0), (2L, Double.NaN), (3L, Double.PositiveInfinity),
+      (4L, Double.NegativeInfinity), (5L, 2.0)).toDF("x", "y")
+    // max(y) = NaN under Spark ordering → the whole span is NaN; every
+    // row must still write (dimension collapses to 0, no ANSI cast error)
+    new ExactlyOnceSink(t, clusterFiles = Some(2), zorderBy = Some(("x", "y")))
+      .write(df, 0L)
+    assert(t.read(s).count() == 5)
+    val ys = t.read(s).collect().map(r => r.getDouble(1))
+    assert(ys.count(_.isNaN) == 1 && ys.count(_.isInfinite) == 2)
+  }
+
   test("partition values with special characters round-trip the path encoding") {
     val s = spark
     import s.implicits._
