@@ -184,11 +184,15 @@ object SparkEntry {
       Pipeline.events(s, clips(s, dir))
         .groupBy(col("event_key"))
         .agg(countDistinct(col("clip_id")).as("exact_clips"),
-          approx_count_distinct(col("clip_id"), 0.02).as("approx"))
+          // rsd 0.01 + a 10% acceptance bound = ~10 sigma of headroom:
+          // at sf0.1 a 0.02-rsd sketch drifted past a 5% bound on a
+          // ~10k-cardinality key — bound-vs-precision must not sit at 2-3
+          // sigma or the gate flakes with scale
+          approx_count_distinct(col("clip_id"), 0.01).as("approx"))
         .select(col("event_key"), col("exact_clips"),
           when(abs(col("approx") - col("exact_clips")) <=
-            greatest(lit(1L), (col("exact_clips") * 5L) / 100L), 1L)
-            .otherwise(0L).as("approx_ok_5pct"))),
+            greatest(lit(1L), (col("exact_clips") * 10L) / 100L), 1L)
+            .otherwise(0L).as("approx_ok_10pct"))),
     // Sorts / limits / top-k: global top-20 events by risk with a
     // deterministic tiebreak (TakeOrderedAndProject physical op — no full
     // sort, per-partition heaps + driver merge).
@@ -275,7 +279,7 @@ FROM clips"""),
     "w_tumbling_salted" -> Oracles.withEvents(Windows.tumblingSql),
     "w_tumbling_salted_hll" -> Oracles.withEvents(
       Windows.tumblingSql.replace("FROM ev GROUP BY 1, 2",
-        ",\n       CAST(1 AS BIGINT) AS hll_ok_5pct\nFROM ev GROUP BY 1, 2")),
+        ",\n       CAST(1 AS BIGINT) AS hll_ok_10pct\nFROM ev GROUP BY 1, 2")),
     "w_sliding" -> Oracles.withEvents(Windows.slidingSql),
     "w_session" -> Oracles.withEvents(Windows.sessionSql),
     "cep_sequence" -> Oracles.withEvents(Cep.detectSql()),
@@ -326,7 +330,7 @@ FROM clips
 WHERE codec IN ('pcm_s16le','wav') AND transcript IS NOT NULL"""),
     "agg_approx_distinct" -> Oracles.withEvents("""
 SELECT event_key, COUNT(DISTINCT clip_id) AS exact_clips,
-       CAST(1 AS BIGINT) AS approx_ok_5pct
+       CAST(1 AS BIGINT) AS approx_ok_10pct
 FROM ev GROUP BY event_key"""),
     "mm_audio_features" -> (ClipTable.oraclePrelude + """
 SELECT clip_id, sr_hz, dur_ms,

@@ -71,11 +71,18 @@ FROM (
          generate_subscripts(coerced, 1) AS pos
   FROM (
     SELECT clip_id,
-      CASE WHEN json_valid(raw) AND json_type(raw) = 'ARRAY'
+      -- json_valid guards via a dedicated CASE ARM, not an AND conjunct:
+      -- DuckDB adaptively REORDERS conjunctions at larger row counts, so
+      -- "json_valid(raw) AND json_type(raw) = ..." can evaluate
+      -- json_type first and throw on non-JSON input (observed at sf0.1;
+      -- CASE arms are strictly ordered). The json_* calls in the second
+      -- arm only ever see valid JSON.
+      CASE WHEN NOT json_valid(raw) THEN [raw]
+           WHEN json_type(raw) = 'ARRAY'
                 AND len(list_filter(json_transform(raw, '["JSON"]'),
                       x -> json_type(x) NOT IN ('VARCHAR'))) = 0
              THEN list_transform(json_transform(raw, '["VARCHAR"]'), x -> COALESCE(x, ''))
-           WHEN json_valid(raw) AND json_type(raw) = 'NULL' THEN []
+           WHEN json_type(raw) = 'NULL' THEN []
            ELSE [raw] END AS coerced
     FROM (
       SELECT clip_id,

@@ -72,7 +72,9 @@ object Salting {
 
   /** Oracle-checkable contract for the sketch path: exact n_clips (from the
     * exact salted merge) alongside a bounded-error flag for the HLL
-    * estimate — within max(1, 5%) of exact or the gate fails. */
+    * estimate — within max(1, 10%) of exact or the gate fails (the bound
+    * sits ~6 sigma above the sketch's error so scale growth cannot flake
+    * the gate; the 0.02-rsd/5% pairing proved too tight at sf0.1). */
   def tumblingSaltedHllChecked(events: DataFrame, buckets: Int = 16): DataFrame = {
     val keys = Seq("window_start_s", "event_key")
     tumblingSalted(events, buckets)
@@ -81,7 +83,7 @@ object Salting {
       .select(col("window_start_s"), col("event_key"), col("n_events"),
         col("n_clips"), col("risk_x10"),
         when(abs(col("n_clips_approx") - col("n_clips")) <=
-          greatest(lit(1L), (col("n_clips") * 5L) / 100L), 1L)
-          .otherwise(0L).as("hll_ok_5pct"))
+          greatest(lit(1L), (col("n_clips") * 10L) / 100L), 1L)
+          .otherwise(0L).as("hll_ok_10pct"))
   }
 }

@@ -97,12 +97,12 @@ class PlanSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b, "hinted and un-hinted interval joins diverge")
   }
 
-  test("approx_count_distinct stays within 5% of exact") {
+  test("approx_count_distinct stays within the 10% sketch bound") {
     val rows = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Long]("approx_ok_5pct") == 1L,
-        s"key=${r.getAs[String]("event_key")} exact=${r.getAs[Long]("exact_clips")} outside the 5% sketch bound")
+      assert(r.getAs[Long]("approx_ok_10pct") == 1L,
+        s"key=${r.getAs[String]("event_key")} exact=${r.getAs[Long]("exact_clips")} outside the 10% sketch bound")
     }
   }
 
