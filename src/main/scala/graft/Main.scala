@@ -83,11 +83,17 @@ object Main {
       case "--continuous" :: t => loop(t, c.copy(once = false))
       case other :: _ => Left(s"unknown argument: $other")
     }
-    loop(args.toList, Config()).flatMap { c =>
+    // a malformed numeric value must produce the same "[graft] ..." + exit 2
+    // as every other config error, not a raw NumberFormatException
+    val parsed =
+      try loop(args.toList, Config())
+      catch { case e: NumberFormatException => Left(s"malformed number: ${e.getMessage}") }
+    parsed.flatMap { c =>
       if (MaintenanceJobs.contains(c.job)) {
         if (c.output.isEmpty) Left(s"--output is required for --job ${c.job}")
         else if (c.job == "vacuum" && c.keepFrom.isEmpty)
           Left("--keep-from <version> is required for --job vacuum")
+        else if (c.targetFiles <= 0) Left("--target-files must be positive")
         else Right(c)
       }
       else if (c.input.isEmpty || c.output.isEmpty || c.checkpoint.isEmpty)
@@ -116,10 +122,18 @@ object Main {
     val conf = parseArgs(args).fold(e => { System.err.println(s"[graft] $e"); sys.exit(2) }, identity)
     // upfront (C1): needs only the parsed config + a filesystem probe —
     // reject BEFORE the session starts or the sink touches the output
-    if (conf.maxRowsPerTrigger.isDefined && !isGraftTableRoot(conf.input)) {
+    if (conf.maxRowsPerTrigger.isDefined && !MaintenanceJobs.contains(conf.job) &&
+        !isGraftTableRoot(conf.input)) {
       System.err.println("[graft] --max-rows-per-trigger requires a graft-table " +
         "input (Spark's file source admits by files/bytes only)")
       sys.exit(2)
+    }
+    // vacuum is pure driver-side metadata work — no SparkSession needed
+    if (conf.job == "vacuum") {
+      val table = new GraftTable(conf.output)
+      val deleted = table.vacuum(conf.keepFrom.get)
+      println(s"""{"job":"vacuum","deleted_files":$deleted,"version":${table.version}}""")
+      return
     }
     val builder0 = SparkSession.builder()
       .appName("graft-streaming-cep")
@@ -143,16 +157,11 @@ object Main {
     graft.functions.AudioFunctions.register(spark)
 
     // table maintenance: no stream, no checkpoint — operate on --output
-    if (MaintenanceJobs.contains(conf.job)) {
+    // (vacuum already ran Spark-free before the session was built)
+    if (conf.job == "compact") {
       val table = new GraftTable(conf.output)
-      conf.job match {
-        case "compact" =>
-          val v = table.compact(spark, conf.targetFiles)
-          println(s"""{"job":"compact","new_version":$v,"files":${table.dataFiles.size}}""")
-        case _ =>
-          val deleted = table.vacuum(conf.keepFrom.get)
-          println(s"""{"job":"vacuum","deleted_files":$deleted,"version":${table.version}}""")
-      }
+      val v = table.compact(spark, conf.targetFiles)
+      println(s"""{"job":"compact","new_version":$v,"files":${table.dataFiles.size}}""")
       spark.stop()
       return
     }

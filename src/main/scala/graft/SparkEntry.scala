@@ -176,7 +176,7 @@ object SparkEntry {
     // Sketch aggregate: HLL approx-distinct per event key next to the
     // exact count. The sketch value itself is engine-specific, so the
     // oracle-checked contract is (exact count, bounded-error flag): the
-    // approx must land within max(1, 5%) of exact — hash-checked against a
+    // approx must land within max(1, 10%) of exact — hash-checked against a
     // constant-1 oracle column, so sketch drift fails the gate. At 10^12
     // scale this sketch (or the salted collect_set swap, see Salting)
     // replaces exact distinct.

@@ -150,9 +150,15 @@ flat AS (
       list_transform(owner_refs, s -> CASE WHEN json_valid(s) THEN json_extract_string(s, '$$.kind') END),
       k -> k IN ('Deployment','StatefulSet','DaemonSet','Job','CronJob','ReplicaSet')) AS wl_kinds,
     list_filter(
+      -- json_valid guards via a NESTED CASE, never an AND conjunct:
+      -- DuckDB adaptively reorders conjunctions at larger row counts and
+      -- json_extract_string throws on the fixture's invalid-JSON refs
+      -- (same hazard fixed in Coerce.polymorphicSql at sf0.1)
       list_transform(owner_refs, s ->
-        CASE WHEN json_valid(s) AND json_extract_string(s, '$$.kind') IN ('Deployment','StatefulSet','DaemonSet','Job','CronJob','ReplicaSet')
-             THEN json_extract_string(s, '$$.name') END),
+        CASE WHEN json_valid(s) THEN
+          CASE WHEN json_extract_string(s, '$$.kind') IN ('Deployment','StatefulSet','DaemonSet','Job','CronJob','ReplicaSet')
+               THEN json_extract_string(s, '$$.name') END
+        END),
       n -> n IS NOT NULL) AS wl_names
   FROM with_refs
 )

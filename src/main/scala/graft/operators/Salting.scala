@@ -72,9 +72,11 @@ object Salting {
 
   /** Oracle-checkable contract for the sketch path: exact n_clips (from the
     * exact salted merge) alongside a bounded-error flag for the HLL
-    * estimate — within max(1, 10%) of exact or the gate fails (the bound
-    * sits ~6 sigma above the sketch's error so scale growth cannot flake
-    * the gate; the 0.02-rsd/5% pairing proved too tight at sf0.1). */
+    * estimate — within max(1, 10%) of exact or the gate fails. This
+    * DataSketches HLL runs at lgK=14 (~0.8% RSE), so the 10% bound is
+    * ~12 sigma — gate-proof at any scale growth. (The sf0.1 sketch flake
+    * was the SEPARATE approx_count_distinct query's 0.02-rsd/5% pairing;
+    * this one is widened for uniform headroom, not because it flaked.) */
   def tumblingSaltedHllChecked(events: DataFrame, buckets: Int = 16): DataFrame = {
     val keys = Seq("window_start_s", "event_key")
     tumblingSalted(events, buckets)

@@ -62,6 +62,19 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
 
   private def p(parts: String*): Path = Paths.get(root, parts: _*)
 
+  /** Manifest paths are stored RELATIVE to the table root (and resolved
+    * back on parse): a table directory can then be moved, copied, or
+    * mounted at a different prefix without orphaning its own data —
+    * absolute paths from pre-relativization manifests still resolve. */
+  private val rootAbs: Path = Paths.get(root).toAbsolutePath.normalize
+  private def relativizePath(path: String): String = {
+    val abs = Paths.get(path).toAbsolutePath.normalize
+    if (abs.startsWith(rootAbs)) rootAbs.relativize(abs).toString else path
+  }
+  private def resolvePath(stored: String): String =
+    if (Paths.get(stored).isAbsolute) stored
+    else rootAbs.resolve(stored).toString
+
   private def writeAtomic(target: Path, content: String): Unit = {
     Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
@@ -161,7 +174,10 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
           else f.get("pv").properties().asScala.map { e =>
             e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
           }.toMap
-        FileInfo(f.get("path").asText(), f.get("rows").asLong(),
+        // manifests store table-root-RELATIVE paths (resolved to absolute
+        // here) so a table directory can be moved/copied/re-mounted and
+        // stay readable — absolute paths from older manifests pass through
+        FileInfo(resolvePath(f.get("path").asText()), f.get("rows").asLong(),
           if (f.has("bytes")) f.get("bytes").asLong() else 0L, stats, pv)
       }.toSeq
       ManifestData(batchIds, replaces, node.get("rows").asLong(), files)
@@ -454,7 +470,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
         else fi.pv.toSeq.sortBy(_._1).map { case (c, ov) =>
           s"${jsonStr(c)}:${ov.map(jsonStr).getOrElse("null")}"
         }.mkString(""","pv":{""", ",", "}")
-      s"""{"path":${jsonStr(fi.path)},"rows":${fi.rows},"bytes":${fi.bytes},"stats":$statsJson$pvJson}"""
+      s"""{"path":${jsonStr(relativizePath(fi.path))},"rows":${fi.rows},"bytes":${fi.bytes},"stats":$statsJson$pvJson}"""
     }.mkString("[", ",", "]")
 
   /** Relax nullability RECURSIVELY (struct fields, array elements, map

@@ -1184,6 +1184,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(one.rdd.getNumPartitions == 1 && one.count() == 1)
   }
 
+  test("table is relocatable: a moved directory reads, streams, and vacuums safely") {
+    val s = spark
+    import s.implicits._
+    val home = Files.createTempDirectory("graft_reloc")
+    val t0 = new GraftTable(home.resolve("orig").toString)
+    new ExactlyOnceSink(t0, partitionBy = Seq("codec")).write(
+      Seq((1L, "wav"), (2L, "opus")).toDF("id", "codec"), 0L)
+    t0.commit(Seq((3L, "wav")).toDF("id", "codec"), 1L, partitionBy = Seq("codec"))
+    // MOVE the whole table directory (manifest paths are root-relative)
+    val moved = home.resolve("moved")
+    Files.move(home.resolve("orig"), moved)
+    val t = new GraftTable(moved.toString)
+    assert(t.read(s).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(t.readVersion(s, 1L).count() == 2)
+    // vacuum at the moved location must keep every live file (the
+    // absolute-path bug deleted the table's own data after a move)
+    t.compact(s, targetFiles = 1)
+    val deleted = t.vacuum(t.version)
+    assert(t.read(s).count() == 3, s"moved-table vacuum destroyed live data (deleted=$deleted)")
+  }
+
   test("schema evolution: a column added later reads as null from old files") {
     val s = spark
     import s.implicits._
