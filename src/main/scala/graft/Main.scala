@@ -24,6 +24,7 @@ import graft.table.{ExactlyOnceSink, GraftTable}
   * Table maintenance (only --output needed):
   *   --job compact [--target-files 32]    small-file compaction
   *   --job vacuum  --keep-from <version>  snapshot retention
+  *   --job describe                       table metadata as one JSON line
   *
   * `--input` may be a plain parquet directory (Spark file source) or a
   * graft-table root (auto-detected via its VERSION file → V2 source with
@@ -46,10 +47,11 @@ object Main {
                           targetFiles: Int = 32, keepFrom: Option[Long] = None)
 
   val ValidJobs: Set[String] =
-    Set("events", "pipeline", "windows", "sessions", "cep", "compact", "vacuum")
+    Set("events", "pipeline", "windows", "sessions", "cep",
+      "compact", "vacuum", "describe")
 
   /** Table-maintenance jobs: operate on --output only (no stream). */
-  val MaintenanceJobs: Set[String] = Set("compact", "vacuum")
+  val MaintenanceJobs: Set[String] = Set("compact", "vacuum", "describe")
 
   def parseArgs(args: Array[String]): Either[String, Config] = {
     def loop(rest: List[String], c: Config): Either[String, Config] = rest match {
@@ -128,11 +130,22 @@ object Main {
         "input (Spark's file source admits by files/bytes only)")
       sys.exit(2)
     }
-    // vacuum is pure driver-side metadata work — no SparkSession needed
+    // vacuum/describe are pure driver-side metadata work — no SparkSession
     if (conf.job == "vacuum") {
       val table = new GraftTable(conf.output)
       val deleted = table.vacuum(conf.keepFrom.get)
       println(s"""{"job":"vacuum","deleted_files":$deleted,"version":${table.version}}""")
+      return
+    }
+    if (conf.job == "describe") {
+      val table = new GraftTable(conf.output)
+      val files = table.manifestsUpTo(table.version).flatMap(table.manifestFiles)
+      def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+      println(s"""{"job":"describe","version":${table.version},""" +
+        s""""rows":${files.map(_.rows).sum},"files":${files.size},""" +
+        s""""bytes":${files.map(_.bytes).sum},""" +
+        s""""layout":${arr(table.layout)},"partition_by":${arr(table.partCols)},""" +
+        s""""schema":${table.schemaOf.map(_.json).getOrElse("null")}}""")
       return
     }
     val builder0 = SparkSession.builder()

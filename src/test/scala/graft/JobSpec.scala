@@ -42,6 +42,12 @@ class JobSpec extends AnyFunSuite {
     assert(Main.parseArgs(Array("--job", "vacuum", "--output", "o")).isLeft)
     assert(Main.parseArgs(Array("--job", "vacuum", "--output", "o",
       "--keep-from", "3")).exists(_.keepFrom.contains(3L)))
+    assert(Main.parseArgs(Array("--job", "describe", "--output", "o")).isRight)
+    // malformed numbers surface as config errors, not raw exceptions
+    assert(Main.parseArgs(Array("--job", "compact", "--output", "o",
+      "--target-files", "abc")).isLeft)
+    assert(Main.parseArgs(Array("--job", "compact", "--output", "o",
+      "--target-files", "0")).isLeft)
   }
 
   test("disabled processor is a whole-stream identity pass-through") {
