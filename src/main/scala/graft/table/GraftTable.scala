@@ -73,7 +73,13 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
   }
   private def resolvePath(stored: String): String =
     if (Paths.get(stored).isAbsolute) stored
-    else rootAbs.resolve(stored).toString
+    // new-format relative paths always start with the data dir (commit
+    // and compact both write under root/data/)
+    else if (stored.startsWith("data/")) rootAbs.resolve(stored).toString
+    // legacy manifest from a table that was CREATED with a relative root:
+    // the stored path is cwd-relative and already includes the root
+    // segment — resolving it against the root would double the prefix
+    else stored
 
   private def writeAtomic(target: Path, content: String): Unit = {
     Files.createDirectories(target.getParent)
@@ -649,7 +655,12 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     // per kept version
     val keptManifests = (snapshotManifests(keepFromVersion) ++
       (keepFromVersion + 1 to cur).flatMap(k => manifestsAddedAt(k).getOrElse(Nil))).toSet
-    val keptFiles = keptManifests.flatMap(m => manifestFileRows(m).map(_._1))
+    // compare in ABSOLUTE-NORMALIZED space on BOTH sides: resolved
+    // manifest paths and walked paths may otherwise differ in prefix form
+    // (relative table root, legacy cwd-relative manifests, ../ segments)
+    // and a spurious mismatch here DELETES live data
+    def canon(s: String): String = Paths.get(s).toAbsolutePath.normalize.toString
+    val keptFiles = keptManifests.flatMap(m => manifestFileRows(m).map(r => canon(r._1)))
 
     var deleted = 0
     val dataRoot = p("data")
@@ -657,7 +668,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
       // recursive: partition-layout batches nest files under col=value dirs
       val walk = Files.walk(dataRoot)
       try walk.iterator().asScala.foreach { f =>
-        if (f.getFileName.toString.endsWith(".parquet") && !keptFiles.contains(f.toString)) {
+        if (f.getFileName.toString.endsWith(".parquet") && !keptFiles.contains(canon(f.toString))) {
           Files.delete(f); deleted += 1
         }
       } finally walk.close()

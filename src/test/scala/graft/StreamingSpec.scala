@@ -1205,6 +1205,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.read(s).count() == 3, s"moved-table vacuum destroyed live data (deleted=$deleted)")
   }
 
+  test("relative-root table: vacuum keeps live files (path-canonicalization)") {
+    val s = spark
+    import s.implicits._
+    // a RELATIVE root: resolved manifest paths are absolute while the
+    // data-dir walk yields relative ones — vacuum must compare in
+    // canonical space or it deletes every live file
+    val rel = s"target/graft_rel_${System.nanoTime()}"
+    try {
+      val t = new GraftTable(rel)
+      t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+      t.commit(Seq((3L, "c")).toDF("id", "v"), 1L)
+      t.compact(s, targetFiles = 1)
+      val deleted = t.vacuum(t.version)
+      assert(t.read(s).count() == 3,
+        s"relative-root vacuum destroyed live data (deleted=$deleted)")
+    } finally {
+      val root = java.nio.file.Paths.get(rel)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally walk.close()
+      }
+    }
+  }
+
   test("schema evolution: a column added later reads as null from old files") {
     val s = spark
     import s.implicits._
