@@ -1,7 +1,7 @@
 package graft.table
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -80,6 +80,30 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     // the stored path is cwd-relative and already includes the root
     // segment — resolving it against the root would double the prefix
     else stored
+
+  /** Cross-PROCESS single-writer guard: every mutating operation (commit,
+    * compact, vacuum) holds an advisory file lock on root/LOCK for its
+    * duration. A second writer process — e.g. a maintenance CLI run
+    * against a table with a live streaming writer — fails LOUDLY instead
+    * of orphaning the other's commit or vacuuming its fresh files.
+    * (In-JVM writers on the same instance are serialized by the table's
+    * monitor already; a same-JVM overlap through a second instance
+    * surfaces as the same clear error.) */
+  private def withProcessLock[T](op: String)(body: => T): T = {
+    Files.createDirectories(p())
+    val ch = java.nio.channels.FileChannel.open(p("LOCK"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock =
+      try ch.tryLock()
+      catch { case _: java.nio.channels.OverlappingFileLockException => null }
+    if (lock == null) {
+      ch.close()
+      throw new IllegalStateException(
+        s"$op rejected: another writer holds the lock for $root — the table " +
+          "is single-writer (stop the other writer or run maintenance from its process)")
+    }
+    try body finally { lock.release(); ch.close() }
+  }
 
   private def writeAtomic(target: Path, content: String): Unit = {
     Files.createDirectories(target.getParent)
@@ -543,7 +567,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     * the partition columns live in the path, not the files — manifests
     * record them per file and readers re-inject them as constants. */
   def commit(df: DataFrame, batchId: Long, metrics: Map[String, Long] = Map.empty,
-             partitionBy: Seq[String] = Nil): Boolean = synchronized {
+             partitionBy: Seq[String] = Nil): Boolean = synchronized { withProcessLock("commit") {
     if (committedBatchIds.contains(batchId)) return false
     partitionBy.foreach { c =>
       val f = df.schema.fields.find(_.name == c).getOrElse(
@@ -598,7 +622,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     writeAtomic(p("VERSION"), (v + 1).toString)
     if (idsCacheVersion == v) { idsCache += batchId; idsCacheVersion = v + 1 }
     true
-  }
+  } }
 
   /** Compact the current snapshot's data files into `targetFiles` files
     * (small-file compaction — O(commits) file counts are the other half of
@@ -610,7 +634,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     * rewrite (fresh readers) or skips it (readers past it) — a resume
     * point strictly inside the compacted range fails loudly instead of
     * duplicating rows. */
-  def compact(spark: SparkSession, targetFiles: Int = 32): Long = synchronized {
+  def compact(spark: SparkSession, targetFiles: Int = 32): Long = synchronized { withProcessLock("compact") {
     val v = version
     require(v > 0, "nothing to compact")
     val batchIds = committedBatchIds
@@ -635,7 +659,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     writeAtomic(p("VERSION"), (v + 1).toString)
     if (idsCacheVersion == v) idsCacheVersion = v + 1 // same ids, new version
     v + 1
-  }
+  } }
 
   /** Retention: expire snapshots older than `keepFromVersion` and delete
     * every data file and manifest no snapshot ≥ keepFromVersion references.
@@ -644,7 +668,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     * the expired range — vacuum after `compact()` only once readers have
     * caught up (their offsets are snapshot versions, so "caught up" is
     * checkable). Returns the number of deleted data files. */
-  def vacuum(keepFromVersion: Long): Int = synchronized {
+  def vacuum(keepFromVersion: Long): Int = synchronized { withProcessLock("vacuum") {
     val cur = version
     require(keepFromVersion >= 1 && keepFromVersion <= cur,
       s"keepFromVersion must be in [1, $cur]")
@@ -699,7 +723,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     }
     invalidateMetaCaches() // snapshot/manifest files were deleted
     deleted
-  }
+  } }
 
   /** Total committed row count straight from manifests (no data scan). */
   def committedRows: Long = synchronized {

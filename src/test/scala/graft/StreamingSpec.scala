@@ -1205,6 +1205,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.read(s).count() == 3, s"moved-table vacuum destroyed live data (deleted=$deleted)")
   }
 
+  test("cross-process single-writer guard: a held LOCK makes commits fail loudly") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_lock").toString)
+    t.commit(Seq((1L, "a")).toDF("id", "v"), 0L)
+    // simulate a second writer process by holding the advisory lock
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(t.root, "LOCK"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val held = ch.lock()
+    try {
+      val e = intercept[IllegalStateException](
+        t.commit(Seq((2L, "b")).toDF("id", "v"), 1L))
+      assert(e.getMessage.contains("single-writer"))
+      val e2 = intercept[IllegalStateException](t.vacuum(1L))
+      assert(e2.getMessage.contains("single-writer"))
+    } finally { held.release(); ch.close() }
+    // lock released → the same commit goes through
+    assert(t.commit(Seq((2L, "b")).toDF("id", "v"), 1L))
+    assert(t.read(s).count() == 2)
+  }
+
   test("relative-root table: vacuum keeps live files (path-canonicalization)") {
     val s = spark
     import s.implicits._
