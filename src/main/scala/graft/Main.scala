@@ -27,11 +27,16 @@ import graft.table.{ExactlyOnceSink, GraftTable}
   *   --job describe                       table metadata as one JSON line
   *
   * The table is SINGLE-WRITER: maintenance jobs mutate table metadata,
-  * so never run compact/vacuum concurrently with a live writer process
-  * (pause the stream, or call table.compact()/vacuum() from the writer's
-  * own process where the table lock serializes them). Concurrent
-  * READERS are always safe — rewrites append, vacuum only removes
-  * versions below the floor the operator chose.
+  * so never run compact/vacuum concurrently with a live writer process —
+  * pause the stream first, or call table.compact()/vacuum() on the
+  * writer's own GraftTable INSTANCE (same-instance calls serialize on
+  * the table monitor; a separate instance or process hits the advisory
+  * lock). The lock guarantees operations never INTERLEAVE (no
+  * corruption); whichever side collides with a held lock fails with a
+  * clear error — with a live stream that can be the stream's next
+  * commit, so pausing remains the operational rule. Concurrent READERS
+  * are always safe — rewrites append, vacuum only removes versions
+  * below the floor the operator chose.
   *
   * `--input` may be a plain parquet directory (Spark file source) or a
   * graft-table root (auto-detected via its VERSION file → V2 source with
@@ -139,30 +144,39 @@ object Main {
     }
     // a maintenance-op precondition failure (bad --keep-from, empty
     // table) must follow the same "[graft] ..." + exit 2 contract as any
-    // other config error, not escape as a raw stack trace
-    def maintenance(body: => Unit): Unit =
-      try { body; return }
+    // other config error, not escape as a raw stack trace. NOTE: callers
+    // must `return` from main AFTER a successful maintenance call — a
+    // `return` inside this nested def would only exit the def itself.
+    def maintenance(cleanup: () => Unit = () => ())(body: => Unit): Unit =
+      try body
       catch {
         case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
           System.err.println(s"[graft] ${e.getMessage}")
+          cleanup()
           sys.exit(2)
       }
     // vacuum/describe are pure driver-side metadata work — no SparkSession
-    if (conf.job == "vacuum") maintenance {
-      val table = new GraftTable(conf.output)
-      val deleted = table.vacuum(conf.keepFrom.get)
-      println(s"""{"job":"vacuum","deleted_files":$deleted,"version":${table.version}}""")
+    if (conf.job == "vacuum") {
+      maintenance() {
+        val table = new GraftTable(conf.output)
+        val deleted = table.vacuum(conf.keepFrom.get)
+        println(s"""{"job":"vacuum","deleted_files":$deleted,"version":${table.version}}""")
+      }
+      return
     }
-    if (conf.job == "describe") maintenance {
-      val table = new GraftTable(conf.output)
-      val files = table.manifestsUpTo(table.version).flatMap(table.manifestFiles)
-      def js(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      def arr(xs: Seq[String]) = xs.map(js).mkString("[", ",", "]")
-      println(s"""{"job":"describe","version":${table.version},""" +
-        s""""rows":${files.map(_.rows).sum},"files":${files.size},""" +
-        s""""bytes":${files.map(_.bytes).sum},""" +
-        s""""layout":${arr(table.layout)},"partition_by":${arr(table.partCols)},""" +
-        s""""schema":${table.schemaOf.map(_.json).getOrElse("null")}}""")
+    if (conf.job == "describe") {
+      maintenance() {
+        val table = new GraftTable(conf.output)
+        val files = table.manifestsUpTo(table.version).flatMap(table.manifestFiles)
+        def arr(xs: Seq[String]) =
+          xs.map(GraftTable.jsonString).mkString("[", ",", "]")
+        println(s"""{"job":"describe","version":${table.version},""" +
+          s""""rows":${files.map(_.rows).sum},"files":${files.size},""" +
+          s""""bytes":${files.map(_.bytes).sum},""" +
+          s""""layout":${arr(table.layout)},"partition_by":${arr(table.partCols)},""" +
+          s""""schema":${table.schemaOf.map(_.json).getOrElse("null")}}""")
+      }
+      return
     }
     val builder0 = SparkSession.builder()
       .appName("graft-streaming-cep")
@@ -188,15 +202,10 @@ object Main {
     // table maintenance: no stream, no checkpoint — operate on --output
     // (vacuum already ran Spark-free before the session was built)
     if (conf.job == "compact") {
-      try {
+      maintenance(cleanup = () => spark.stop()) {
         val table = new GraftTable(conf.output)
         val v = table.compact(spark, conf.targetFiles)
         println(s"""{"job":"compact","new_version":$v,"files":${table.dataFiles.size}}""")
-      } catch {
-        case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
-          System.err.println(s"[graft] ${e.getMessage}")
-          spark.stop()
-          sys.exit(2)
       }
       spark.stop()
       return

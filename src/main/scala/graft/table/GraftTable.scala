@@ -58,6 +58,16 @@ final case class ManifestData(batchIds: Seq[Long], replacesUpTo: Option[Long],
   * crash leftovers in data/ are invisible. Renames are atomic on local and
   * HDFS filesystems; object stores would swap a pointer object instead.
   */
+object GraftTable {
+  /** Canonical JSON string escaping shared by manifest writing and the
+    * CLI's describe output (quotes, backslashes, control characters). */
+  private[graft] def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+}
+
 final class GraftTable(val root: String, checkpointInterval: Int = 64) {
 
   private def p(parts: String*): Path = Paths.get(root, parts: _*)
@@ -73,9 +83,17 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
   }
   private def resolvePath(stored: String): String =
     if (Paths.get(stored).isAbsolute) stored
-    // new-format relative paths always start with the data dir (commit
-    // and compact both write under root/data/)
-    else if (stored.startsWith("data/")) rootAbs.resolve(stored).toString
+    else if (stored.startsWith("data/")) {
+      // new-format relative paths always start with the data dir (commit
+      // and compact both write under root/data/). A table whose RELATIVE
+      // root is itself named "data" makes legacy cwd-relative paths look
+      // new-format — disambiguate by existence before trusting the root
+      // resolution (the probe is per manifest parse, then memoized)
+      val resolved = rootAbs.resolve(stored)
+      if (Files.exists(resolved) || !Files.exists(Paths.get(stored)))
+        resolved.toString
+      else stored
+    }
     // legacy manifest from a table that was CREATED with a relative root:
     // the stored path is cwd-relative and already includes the root
     // segment — resolving it against the root would double the prefix
@@ -95,7 +113,10 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     val lock =
       try ch.tryLock()
-      catch { case _: java.nio.channels.OverlappingFileLockException => null }
+      catch {
+        case _: java.nio.channels.OverlappingFileLockException => null
+        case e: Throwable => ch.close(); throw e // never leak the channel
+      }
     if (lock == null) {
       ch.close()
       throw new IllegalStateException(
@@ -341,11 +362,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     r.load(root)
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+  private def jsonStr(s: String): String = GraftTable.jsonString(s)
 
   /** Column min/max from an open file's footer: only top-level primitive
     * columns with trustworthy chunk statistics; a chunk with missing stats
