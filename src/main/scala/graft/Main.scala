@@ -214,8 +214,10 @@ object Main {
     val listener = new Metrics.Listener(persistRoot = Some(conf.output))
     spark.streams.addListener(listener)
     val table = new GraftTable(conf.output)
-    val sink = new ExactlyOnceSink(table, lineage = conf.lineage,
-      partitionBy = conf.partitionBy)
+    // NOTE: the ExactlyOnceSink is constructed only after the
+    // --partition-by validation below — its constructor writes the output
+    // table's LAYOUT metadata, and a rejected config must exit before the
+    // sink touches the output (C1: reject before any side effect).
 
     // input auto-detection: a graft-table root streams through the V2
     // source — manifest-exact offsets plus the full files/bytes/ROWS
@@ -261,6 +263,8 @@ object Main {
         sys.exit(2)
       }
     }
+    val sink = new ExactlyOnceSink(table, lineage = conf.lineage,
+      partitionBy = conf.partitionBy)
 
     val q = out.writeStream
       .option("checkpointLocation", conf.checkpoint)

@@ -263,7 +263,15 @@ object PushReceiver {
     * passing the default defer to whatever is running. */
   def ensure(walDir: String, port: Int,
              segmentBytes: Long = NoSegmentLimit): PushReceiver = {
-    val r = active.getOrElseUpdate(walDir, new PushReceiver(walDir, port, segmentBytes))
+    // constructing a PushReceiver binds a ServerSocket, spawns the
+    // acceptor thread, and opens the active WAL segment for append —
+    // TrieMap.getOrElseUpdate may evaluate the factory in two racing
+    // threads and the loser's receiver would leak all three (plus race
+    // the legacy-WAL migration move). Serialize construction explicitly;
+    // reads (boundPort) stay lock-free on the TrieMap.
+    val r = active.synchronized {
+      active.getOrElseUpdate(walDir, new PushReceiver(walDir, port, segmentBytes))
+    }
     require(segmentBytes == NoSegmentLimit || segmentBytes == r.segmentLimit,
       s"push receiver for $walDir is already running with segmentBytes=" +
         s"${r.segmentLimit}; requested $segmentBytes (stop it first)")

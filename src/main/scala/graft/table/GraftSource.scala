@@ -520,8 +520,8 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
   private def firstLiveVersion(from: Long, to: Long): Long =
     (from + 1 to to).find(k => table.manifestsAddedAt(k).isDefined).getOrElse(to + 1)
 
-  private def readableManifests(k: Long, from: Long, chain: Set[String],
-                                firstLive: Long): Seq[String] =
+  private def readableManifests(k: Long, from: Long, chain: => Set[String],
+                                firstLive: => Long): Seq[String] =
     table.manifestsAddedAt(k) match {
       case None if from == 0L => Nil // expired by retention; backfilled at firstLive
       case None => throw new IllegalStateException(
@@ -534,13 +534,29 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
         } else added.filterNot(m => table.manifestRewriteInfo(m)._1)
     }
 
+  /** Per-version file lists for the STEADY-STATE (from > 0) path, where
+    * the result depends only on the version (never on `from`, the chain,
+    * or `firstLive`): latestOffset touches each version once per admission
+    * decision and planInputPartitions re-requests the admitted range, so
+    * without this every trigger re-reads the same snapshot deltas and
+    * manifests. Entries are dropped once the engine commits past them
+    * (offsets only advance), so the map never outgrows the in-flight
+    * range — bounded metadata I/O AND bounded memory for a reader on a
+    * year-lived table. */
+  private val steadyFileCache = scala.collection.concurrent.TrieMap.empty[Long, Seq[FileInfo]]
+
   /** The files version k would contribute, post-pruning (admission budgets
-    * count work actually read, consistent with planInputPartitions). */
-  private def versionFiles(k: Long, from: Long, chain: Set[String],
-                           firstLive: Long): Seq[FileInfo] =
-    readableManifests(k, from, chain, firstLive)
+    * count work actually read, consistent with planInputPartitions).
+    * `chain`/`firstLive` are by-name: they cost an O(versions) chain
+    * resolution and are only needed for fresh-reader (from = 0) backfill. */
+  private def versionFiles(k: Long, from: Long, chain: => Set[String],
+                           firstLive: => Long): Seq[FileInfo] = {
+    def compute = readableManifests(k, from, chain, firstLive)
       .flatMap(table.manifestFiles)
       .filter(FilePrune.keep(_, filters))
+    if (from == 0L) compute
+    else steadyFileCache.getOrElseUpdate(k, compute)
+  }
 
   /** Admit whole snapshot versions until a file, byte, or ROW budget is
     * spent (at least one version per trigger so the stream always
@@ -557,8 +573,10 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
     val maxR = lims.collectFirst { case r: ReadMaxRows => r.maxRows() }
     if ((maxF.isEmpty && maxB.isEmpty && maxR.isEmpty) || cur <= from) GraftOffset(cur)
     else {
-      val chain = table.manifestsUpTo(cur).toSet
-      val firstLive = firstLiveVersion(from, cur)
+      // both only forced on the from == 0 backfill path (resumed readers'
+      // per-version deltas need neither — see readableManifests)
+      lazy val chain = table.manifestsUpTo(cur).toSet
+      lazy val firstLive = firstLiveVersion(from, cur)
       var v = from
       var files = 0
       var bytes = 0L
@@ -584,8 +602,8 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftOffset].version
     val to = end.asInstanceOf[GraftOffset].version
-    val chain = table.manifestsUpTo(to).toSet
-    val firstLive = firstLiveVersion(from, to)
+    lazy val chain = table.manifestsUpTo(to).toSet
+    lazy val firstLive = firstLiveVersion(from, to)
     (from + 1 to to)
       .flatMap(versionFiles(_, from, chain, firstLive))
       .map(fi => GraftInputPartition(fi.path, fi.rows, fi.pv))
@@ -595,7 +613,12 @@ final class GraftMicroBatchStream(root: String, schema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(schema)
 
-  override def commit(end: Offset): Unit = ()
+  /** Offsets only advance: once the engine commits past a version its
+    * cached file list can never be requested again — prune it. */
+  override def commit(end: Offset): Unit = {
+    val v = end.asInstanceOf[GraftOffset].version
+    steadyFileCache.keysIterator.filter(_ <= v).foreach(steadyFileCache.remove)
+  }
   override def stop(): Unit = ()
 }
 

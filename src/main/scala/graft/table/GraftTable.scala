@@ -66,6 +66,14 @@ object GraftTable {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
+
+  /** Global count of filesystem METADATA operations (snapshot/manifest/
+    * VERSION reads and existence probes) across all instances — test
+    * instrumentation for the bounded-metadata-I/O-per-trigger contract of
+    * the streaming source (a long-lived reader must not pay O(versions)
+    * driver I/O per micro-batch). Negligible runtime cost; never read on
+    * the data path. */
+  val metaReads = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 final class GraftTable(val root: String, checkpointInterval: Int = 64) {
@@ -133,9 +141,11 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def version: Long =
+  def version: Long = {
+    GraftTable.metaReads.incrementAndGet()
     if (Files.exists(p("VERSION"))) new String(Files.readAllBytes(p("VERSION")), StandardCharsets.UTF_8).trim.toLong
     else 0L
+  }
 
   /** Declared cluster-layout columns (see [[ExactlyOnceSink]] `clusterBy`):
     * a hint that data files are value-clustered on these columns. Purely
@@ -175,38 +185,83 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
   // re-parses every manifest's JSON on EVERY trigger — O(versions) driver
   // metadata I/O per micro-batch (round-2 advisor finding). vacuum() (the
   // only operation that deletes metadata) clears them.
-  private val chainCache = scala.collection.concurrent.TrieMap.empty[Long, Seq[String]]
+  //
+  // The CHAIN cache holds exactly ONE resolved chain (the newest version
+  // asked for) and advances it INCREMENTALLY by applying per-version
+  // snapshot deltas: the round-3 per-version TrieMap cached a full
+  // O(versions) Seq under EVERY key, which is O(versions²) driver memory
+  // over a year-lived table at one commit/min (~500k versions). Requests
+  // for older versions (time travel, fresh-stream backfill) re-resolve
+  // through the parent walk — ≤ checkpointInterval metadata reads,
+  // uncached by design.
+  private var chainVersion: Long = -1L
+  private var chainSeq: Vector[String] = Vector.empty
   private val manifestCache = scala.collection.concurrent.TrieMap.empty[String, ManifestData]
   private val addedCache = scala.collection.concurrent.TrieMap.empty[Long, Option[Seq[String]]]
 
-  private def invalidateMetaCaches(): Unit = {
-    chainCache.clear(); manifestCache.clear(); addedCache.clear()
+  private def invalidateMetaCaches(): Unit = synchronized {
+    chainVersion = -1L; chainSeq = Vector.empty
+    manifestCache.clear(); addedCache.clear()
     idsCacheVersion = -1L
   }
+
+  private def readSnapshotNode(v: Long): com.fasterxml.jackson.databind.JsonNode = {
+    GraftTable.metaReads.incrementAndGet()
+    mapper.readTree(Files.readAllBytes(p("snapshots", s"v$v.json")))
+  }
+
+  /** Cold chain resolution via the parent walk — bottoms out at the
+    * nearest full checkpoint, so ≤ checkpointInterval metadata reads. */
+  private def resolveChain(v: Long): Vector[String] =
+    if (v == 0) Vector.empty
+    else {
+      val node = readSnapshotNode(v)
+      if (node.has("manifests"))
+        node.get("manifests").elements().asScala.map(_.asText()).toVector
+      else
+        resolveChain(node.get("parent").asLong()) ++
+          node.get("added").elements().asScala.map(_.asText()).toVector
+    }
 
   /** Resolve snapshot v's full manifest list. Snapshots are a parent+delta
     * chain ({"parent": v-1, "added": [m]}) with a full {"manifests": [...]}
     * checkpoint every `checkpointInterval` commits, so commit cost is O(1)
     * amortized instead of rewriting the whole O(commits) list every time
-    * (the round-1 flaw), while any historical version stays resolvable in
-    * ≤ checkpointInterval file reads (then memoized). */
-  private def snapshotManifests(v: Long): Seq[String] =
+    * (the round-1 flaw). The newest resolved chain is cached and advanced
+    * by per-version deltas: a long-lived streaming reader pays O(new
+    * versions) metadata reads per trigger, never a fresh chain walk. */
+  private def snapshotManifests(v: Long): Seq[String] = synchronized {
     if (v == 0) Nil
-    else chainCache.getOrElseUpdate(v, {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(Files.readAllBytes(p("snapshots", s"v$v.json")))
-      if (node.has("manifests"))
-        node.get("manifests").elements().asScala.map(_.asText()).toSeq
-      else
-        snapshotManifests(node.get("parent").asLong()) ++
-          node.get("added").elements().asScala.map(_.asText()).toSeq
-    })
+    else if (v == chainVersion) chainSeq
+    else {
+      val res =
+        if (chainVersion >= 0 && v > chainVersion) {
+          // incremental advance: apply each newer node to the cached chain
+          // (a delta node appends its `added`; a checkpoint/rewrite node
+          // carries the full list and resets it)
+          var base = chainSeq
+          var k = chainVersion + 1
+          while (k <= v) {
+            val node = readSnapshotNode(k)
+            if (node.has("manifests"))
+              base = node.get("manifests").elements().asScala.map(_.asText()).toVector
+            else
+              base = base ++ node.get("added").elements().asScala.map(_.asText()).toVector
+            k += 1
+          }
+          base
+        } else resolveChain(v)
+      if (v > chainVersion) { chainVersion = v; chainSeq = res }
+      res
+    }
+  }
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Parsed (and memoized) manifest content. */
   def manifest(name: String): ManifestData =
     manifestCache.getOrElseUpdate(name, {
+      GraftTable.metaReads.incrementAndGet()
       val node = mapper.readTree(Files.readAllBytes(p("manifests", name)))
       val batchIds =
         if (node.has("batchIds")) node.get("batchIds").elements().asScala.map(_.asLong()).toSeq
@@ -283,9 +338,10 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
   }
 
   private def manifestsAddedAtUncached(k: Long): Option[Seq[String]] = {
+    GraftTable.metaReads.incrementAndGet()
     if (!Files.exists(p("snapshots", s"v$k.json"))) None
     else {
-      val node = mapper.readTree(Files.readAllBytes(p("snapshots", s"v$k.json")))
+      val node = readSnapshotNode(k)
       if (node.has("added"))
         Some(node.get("added").elements().asScala.map(_.asText()).toSeq)
       else if (k > 1 && !Files.exists(p("snapshots", s"v${k - 1}.json")))
@@ -399,10 +455,34 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
             st.isNumNullsSet && st.getNumNulls == chunk.getValueCount
           if (st == null || (!st.hasNonNullValue && !provablyAllNull)) dead += colName
           else if (st.hasNonNullValue) {
+            // every stats consumer (FilePrune.cmp filter conversion, the
+            // metadata MIN/MAX pushdown, partition-key derivation) compares
+            // timestamp stats in epoch-MICROS, and the data reader
+            // normalizes MILLIS/NANOS values the same way — so footer
+            // bounds from a non-MICROS writer (GraftTable is a library
+            // API; outputTimestampType is session config) must be
+            // normalized here too, or millis-valued stats compared against
+            // micros filters silently prune live files. MILLIS ×1000 and
+            // NANOS truncate-toward-zero /1000 are both monotonic, so the
+            // normalized min/max are exactly the attained bounds in the
+            // reader's value domain; a ×1000 overflow disqualifies the
+            // column for this file (never prune on bounds we can't state).
+            val tsUnit: Option[LogicalTypeAnnotation.TimeUnit] =
+              chunk.getPrimitiveType.getLogicalTypeAnnotation match {
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => Some(t.getUnit)
+                case _ => None
+              }
+            def toMicros(v: Long): Long = tsUnit match {
+              case Some(LogicalTypeAnnotation.TimeUnit.MILLIS) => Math.multiplyExact(v, 1000L)
+              case Some(LogicalTypeAnnotation.TimeUnit.NANOS) => v / 1000L
+              case _ => v
+            }
             val enc: Option[(String, String, String, (String, String) => Boolean)] = tn match {
               case INT64 | INT32 =>
-                Some(("long", st.genericGetMin.toString, st.genericGetMax.toString,
+                try Some(("long", toMicros(st.genericGetMin.toString.toLong).toString,
+                  toMicros(st.genericGetMax.toString.toLong).toString,
                   (a: String, b: String) => a.toLong < b.toLong))
+                catch { case _: ArithmeticException => dead += colName; None }
               case DOUBLE | FLOAT =>
                 Some(("double", st.genericGetMin.toString, st.genericGetMax.toString,
                   (a: String, b: String) => a.toDouble < b.toDouble))

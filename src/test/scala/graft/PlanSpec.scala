@@ -161,6 +161,27 @@ class PlanSpec extends AnyFunSuite {
       s"simhash pair join degraded to an all-pairs plan:\n$plan")
   }
 
+  test("simhash is 64-bit: band-key cardinality exceeds the 16-bit ceiling") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val s = graft.operators.Dedup.simhash(docs).cache()
+    try {
+      // a 16-bit hash at maxHam=2 admits at most 32+32+64 = 128 distinct
+      // (band, value) join keys CORPUS-WIDE — every bucket then holds
+      // ~n/32 docs and the pigeonhole join is quadratic. 64-bit bands
+      // (21/21/22 bits) must spread even a small diverse corpus far past
+      // that ceiling; near-dup clusters still collide (pairs non-empty is
+      // pinned by the gate query, recall by the property below).
+      val keys = graft.operators.Dedup.simhashBands(s, 2)
+        .select("b", "band_val").distinct().count()
+      assert(keys > 128L,
+        s"only $keys distinct band keys — hash width looks 16-bit again")
+      // and at least one hash must use the widened range: |value| ≥ 2^16
+      // is unreachable for a 16-bit hash
+      val wide = s.filter(org.apache.spark.sql.functions.abs(col("simhash")) >= (1L << 16)).count()
+      assert(wide > 0L, "no simhash value outside the 16-bit range")
+    } finally { s.unpersist(); () }
+  }
+
   test("dedup queries leave no pinned relations after releaseCaches") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     graft.operators.Dedup.minhashLsh(docs).count()
@@ -175,7 +196,7 @@ class PlanSpec extends AnyFunSuite {
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
         (r.getAs[Long]("common"), r.getAs[Long]("jac_x1000"))).toMap
-    val full = toMap(graft.operators.Dedup.ngramJaccard(docs))
+    val full = toMap(graft.operators.Dedup.ngramJaccard(docs, maxShingleDf = None))
     val capped = toMap(graft.operators.Dedup.ngramJaccard(docs, maxShingleDf = Some(5L)))
     graft.operators.Dedup.releaseCaches()
     assert(capped.nonEmpty, "DF cap of 5 removed every candidate pair")
