@@ -25,6 +25,16 @@ import graft.table.{ExactlyOnceSink, GraftTable}
   *   --job compact [--target-files 32]    small-file compaction
   *   --job vacuum  --keep-from <version>  snapshot retention
   *   --job describe                       table metadata as one JSON line
+  *   --job delete  --where <predicate>    row-level copy-on-write delete
+  *                                        (takedown path; stats-pruned
+  *                                        file rewrite, see GraftTable.delete)
+  *
+  * Network egress (the exporter analog; composes with the pipeline jobs:
+  * run a pipeline job into a table, then forward that table's change
+  * stream into an existing collector mesh):
+  *   --job forward --input <tableOrDir> --checkpoint <dir> \
+  *     --egress host:port                 at-least-once JSON-lines forward
+  *                                        (acked chunks, retry/backoff)
   *
   * The table is SINGLE-WRITER: maintenance jobs mutate table metadata,
   * so never run compact/vacuum concurrently with a live writer process —
@@ -56,14 +66,16 @@ object Main {
                           job: String = "events", rocksdb: Boolean = false,
                           enabled: Boolean = true, lineage: Boolean = false,
                           partitionBy: Seq[String] = Nil,
-                          targetFiles: Int = 32, keepFrom: Option[Long] = None)
+                          targetFiles: Int = 32, keepFrom: Option[Long] = None,
+                          where: Option[String] = None,
+                          egress: Option[String] = None)
 
   val ValidJobs: Set[String] =
     Set("events", "pipeline", "windows", "sessions", "cep",
-      "compact", "vacuum", "describe")
+      "compact", "vacuum", "describe", "delete", "forward")
 
   /** Table-maintenance jobs: operate on --output only (no stream). */
-  val MaintenanceJobs: Set[String] = Set("compact", "vacuum", "describe")
+  val MaintenanceJobs: Set[String] = Set("compact", "vacuum", "describe", "delete")
 
   def parseArgs(args: Array[String]): Either[String, Config] = {
     def loop(rest: List[String], c: Config): Either[String, Config] = rest match {
@@ -88,6 +100,10 @@ object Main {
       // maintenance-job knobs: small-file compaction size / vacuum floor
       case "--target-files" :: v :: t => loop(t, c.copy(targetFiles = v.toInt))
       case "--keep-from" :: v :: t => loop(t, c.copy(keepFrom = Some(v.toLong)))
+      // row-level delete predicate (SQL boolean expression over the table)
+      case "--where" :: v :: t => loop(t, c.copy(where = Some(v)))
+      // network egress target for --job forward
+      case "--egress" :: v :: t => loop(t, c.copy(egress = Some(v)))
       // Hive-style directory layout on the sink table: value-pure files
       // enable exact partition pruning and shuffle-free storage-partitioned
       // aggregation/joins on these columns (low-cardinality columns only)
@@ -107,7 +123,16 @@ object Main {
         if (c.output.isEmpty) Left(s"--output is required for --job ${c.job}")
         else if (c.job == "vacuum" && c.keepFrom.isEmpty)
           Left("--keep-from <version> is required for --job vacuum")
+        else if (c.job == "delete" && c.where.forall(_.trim.isEmpty))
+          Left("--where <predicate> is required for --job delete")
         else if (c.targetFiles <= 0) Left("--target-files must be positive")
+        else Right(c)
+      }
+      else if (c.job == "forward") {
+        if (c.input.isEmpty || c.checkpoint.isEmpty)
+          Left("--input and --checkpoint are required for --job forward")
+        else if (!c.egress.exists(_.matches(".+:\\d+")))
+          Left("--egress host:port is required for --job forward")
         else Right(c)
       }
       else if (c.input.isEmpty || c.output.isEmpty || c.checkpoint.isEmpty)
@@ -210,10 +235,32 @@ object Main {
       spark.stop()
       return
     }
+    if (conf.job == "delete") {
+      maintenance(cleanup = () => spark.stop()) {
+        val table = new GraftTable(conf.output)
+        // parse/analysis failures follow the "[graft] ..." + exit 2
+        // contract like any other bad config, not a raw stack trace
+        val pred =
+          try org.apache.spark.sql.functions.expr(conf.where.get)
+          catch { case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+            throw new IllegalArgumentException(s"malformed --where: ${e.getMessage}") }
+        val n =
+          try table.delete(spark, pred)
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"--where does not resolve against the table: ${e.getMessage}") }
+        println(s"""{"job":"delete","rows_deleted":$n,"new_version":${table.version}}""")
+      }
+      spark.stop()
+      return
+    }
 
-    val listener = new Metrics.Listener(persistRoot = Some(conf.output))
+    // forward has NO output table: no per-commit metrics dir, no sink
+    val listener = new Metrics.Listener(
+      persistRoot = if (conf.job == "forward") None else Some(conf.output),
+      jmxName = Some(s"graft-${conf.job}"))
     spark.streams.addListener(listener)
-    val table = new GraftTable(conf.output)
+    lazy val table = new GraftTable(conf.output)
     // NOTE: the ExactlyOnceSink is constructed only after the
     // --partition-by validation below — its constructor writes the output
     // table's LAYOUT metadata, and a rejected config must exit before the
@@ -234,6 +281,19 @@ object Main {
         conf.maxBytesPerTrigger.foreach(b => reader.option("maxBytesPerTrigger", b))
         reader.parquet(conf.input)
       }
+    // exporter analog: forward the input's change stream to the mesh —
+    // no table sink, no output; at-least-once via acked chunks + replay
+    if (conf.job == "forward") {
+      val hp = conf.egress.get
+      val colon = hp.lastIndexOf(':')
+      val q = graft.sources.Egress.forward(clips, hp.substring(0, colon),
+        hp.substring(colon + 1).toInt, conf.checkpoint)
+      if (conf.once) { q.processAllAvailable(); q.stop() } else q.awaitTermination()
+      println(s"""{"job":"forward","batches":${q.recentProgress.length}}""")
+      spark.stop()
+      return
+    }
+
     val out =
       if (!conf.enabled) clips // reference enabled=false: identity pass-through
       else conf.job match {

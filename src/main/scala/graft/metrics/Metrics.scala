@@ -45,12 +45,51 @@ object Metrics {
     * `<root>/metrics/batch-<id>.json` beside the commit manifests (the
     * observed metrics only materialize AFTER the micro-batch completes, so
     * they cannot ride inside the manifest itself — the lineage/row counts
-    * there are exact regardless). */
-  final class Listener(persistRoot: Option[String] = None) extends StreamingQueryListener {
+    * there are exact regardless).
+    *
+    * LIVE surface (the reference exposes its counters through the OTel
+    * meter for scraping, METRICS.md; processor.go:47-53 — per-commit JSON
+    * is queryable only post-hoc): cumulative [[totals]] accumulate across
+    * batches while the query runs, and with `jmxName` set they are also
+    * published as a platform-JMX MBean
+    * (`graft:type=Counters,name=<jmxName>`, attribute `CountersJson`) —
+    * scrapeable by any JMX agent with zero extra dependencies, registered
+    * at construction and unregistered when the query terminates. */
+  final class Listener(persistRoot: Option[String] = None,
+                       jmxName: Option[String] = None) extends StreamingQueryListener {
     val byBatch: TrieMap[Long, Map[String, Long]] = TrieMap.empty
+    private val totalsMap = TrieMap.empty[String, Long]
+
+    /** Cumulative counters across all completed batches so far — readable
+      * at any time while the stream runs. */
+    def totals: Map[String, Long] = totalsMap.readOnlySnapshot().toMap
+
+    /** Current totals as a one-row-per-counter DataFrame snapshot (the
+      * in-process queryable view; JMX is the out-of-process scrape). */
+    def totalsDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      totals.toSeq.sortBy(_._1).toDF("counter", "value")
+    }
+
+    private[metrics] def countersJson: String =
+      totals.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${'"'}$k${'"'}:$v" }.mkString("{", ",", "}")
+
+    private val mbeanName = jmxName.map(n =>
+      new javax.management.ObjectName(s"graft:type=Counters,name=$n"))
+    mbeanName.foreach { on =>
+      val mbs = java.lang.management.ManagementFactory.getPlatformMBeanServer
+      if (mbs.isRegistered(on)) mbs.unregisterMBean(on) // replace a stale run
+      mbs.registerMBean(new LiveCounters(this), on)
+      ()
+    }
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      mbeanName.foreach { on =>
+        val mbs = java.lang.management.ManagementFactory.getPlatformMBeanServer
+        if (mbs.isRegistered(on)) mbs.unregisterMBean(on)
+      }
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val all = e.progress.observedMetrics.asScala
       val om = Seq(ObservationName, ErrorsObservationName).flatMap(all.get) match {
@@ -68,7 +107,11 @@ object Metrics {
         val dropped = e.progress.stateOperators
           .map(_.numRowsDroppedByWatermark).sum
         val m = observed + ("rows_dropped_by_watermark" -> dropped)
-        byBatch.put(e.progress.batchId, m)
+        // a replayed batchId (query restart re-emitting progress) must not
+        // double-count the cumulative totals — first sighting only
+        val firstSighting = byBatch.put(e.progress.batchId, m).isEmpty
+        if (firstSighting)
+          m.foreach { case (k, v) => totalsMap(k) = totalsMap.getOrElse(k, 0L) + v }
         persistRoot.foreach { root =>
           val dir = java.nio.file.Paths.get(root, "metrics")
           java.nio.file.Files.createDirectories(dir)
@@ -81,4 +124,13 @@ object Metrics {
       }
     }
   }
+}
+
+/** JMX contract for a [[Metrics.Listener]]'s cumulative counters (standard
+  * MBean convention: `FooMBean` interface + `Foo` implementation). One
+  * string attribute keeps it consumable by any generic JMX agent. */
+trait LiveCountersMBean { def getCountersJson: String }
+
+final class LiveCounters(l: Metrics.Listener) extends LiveCountersMBean {
+  override def getCountersJson: String = l.countersJson
 }

@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, IOException}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Network-egress sink — the OTLP-exporter analog (reference
+  * ocb/config.yaml:43-46; exporterhelper retry/queue semantics in
+  * factory.go:45-52): forwards processed events over a TCP socket as
+  * JSON lines so this engine can feed an existing collector mesh instead
+  * of (only) its own table.
+  *
+  * Delivery contract — AT-LEAST-ONCE, achieved with three nested layers:
+  *
+  *  1. chunk-level retry with exponential backoff: rows are sent in
+  *     bounded chunks; after each chunk the sender writes an in-band
+  *     `#ack` marker and BLOCKS for the receiver's 1-byte acknowledgment.
+  *     TCP alone cannot prove delivery (a dead receiver's kernel buffers
+  *     swallow writes silently), so the ack is what makes "sent" mean
+  *     "received". A failed/unacked chunk is resent on a fresh
+  *     connection — only the current chunk is buffered (bounded memory
+  *     per task, the queue_size analog).
+  *  2. Spark task retry: a chunk that exhausts its retries throws, the
+  *     task re-runs, the partition is resent.
+  *  3. micro-batch replay: `forward` runs under a checkpoint; a crashed
+  *     query resends the un-completed batch on restart.
+  *
+  * Receivers must reply to a `#ack` line with one byte. Lines starting
+  * with `#` never collide with data: every data line is a JSON object
+  * (first byte `{`). Duplicates across retries are possible by design —
+  * downstream dedupes (the reference exporter is likewise at-least-once).
+  *
+  * Scale shape: forwarding is per-PARTITION (each executor task opens its
+  * own connection), so egress bandwidth scales with the cluster, not the
+  * driver; nothing is collected driver-side. */
+object Egress {
+
+  /** Send one batch DataFrame as JSON lines. Usable directly in
+    * `foreachBatch`, or through [[forward]] for a checkpointed stream. */
+  def writeBatch(df: DataFrame, host: String, port: Int,
+                 chunkRows: Int = 512, maxRetries: Int = 8,
+                 baseBackoffMs: Long = 25L): Unit = {
+    require(chunkRows > 0 && maxRetries >= 0 && baseBackoffMs >= 0)
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      val sender = new ChunkSender(host, port, maxRetries, baseBackoffMs)
+      try it.grouped(chunkRows).foreach(chunk => sender.send(chunk))
+      finally sender.close()
+    }
+  }
+
+  /** Checkpointed at-least-once forward of a STREAMING DataFrame (e.g. a
+    * graft table's change stream) to host:port. */
+  def forward(stream: DataFrame, host: String, port: Int, checkpoint: String,
+              chunkRows: Int = 512, maxRetries: Int = 8,
+              baseBackoffMs: Long = 25L): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeBatch(batch, host, port, chunkRows, maxRetries, baseBackoffMs)
+      }
+      .start()
+}
+
+/** One task's connection to the egress receiver: sends line chunks, waits
+  * for the per-chunk ack, reconnects + resends with exponential backoff on
+  * any failure. Not thread-safe (one per partition task). */
+final class ChunkSender(host: String, port: Int, maxRetries: Int,
+                        baseBackoffMs: Long) {
+  private var sock: Socket = _
+  private var out: BufferedOutputStream = _
+  private var in: BufferedInputStream = _
+
+  private def connect(): Unit = {
+    close()
+    sock = new Socket(host, port)
+    sock.setTcpNoDelay(true)
+    out = new BufferedOutputStream(sock.getOutputStream)
+    in = new BufferedInputStream(sock.getInputStream)
+  }
+
+  /** Deliver `lines` (each becomes one `\n`-terminated line) and block for
+    * the receiver's ack; resends the whole chunk on failure. */
+  def send(lines: Seq[String]): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        if (out == null) connect()
+        lines.foreach { l =>
+          out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
+        }
+        out.write(ChunkSender.AckMarker.getBytes(StandardCharsets.UTF_8))
+        out.flush()
+        // the ack byte is the delivery proof; EOF (-1) = receiver died
+        if (in.read() < 0) throw new IOException("receiver closed before ack")
+        done = true
+      } catch {
+        case e: IOException =>
+          close()
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IOException(
+              s"egress to $host:$port failed after $maxRetries retries", e)
+          // exponential backoff, capped at 64× base
+          Thread.sleep(baseBackoffMs << math.min(attempt - 1, 6))
+      }
+    }
+  }
+
+  def close(): Unit = {
+    if (sock != null) {
+      try sock.close() catch { case _: IOException => () }
+      sock = null; out = null; in = null
+    }
+  }
+}
+
+object ChunkSender {
+  /** In-band chunk delimiter; data lines are JSON objects (`{`-first), so
+    * a `#`-first line is unambiguous. Receivers reply with one byte. */
+  val AckMarker: String = "#ack\n"
+}

@@ -76,7 +76,8 @@ object GraftTable {
   val metaReads = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
-final class GraftTable(val root: String, checkpointInterval: Int = 64) {
+final class GraftTable(val root: String, checkpointInterval: Int = 64,
+                       pointer: PointerCommitter = RenamePointerCommitter) {
 
   private def p(parts: String*): Path = Paths.get(root, parts: _*)
 
@@ -143,9 +144,17 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
 
   def version: Long = {
     GraftTable.metaReads.incrementAndGet()
-    if (Files.exists(p("VERSION"))) new String(Files.readAllBytes(p("VERSION")), StandardCharsets.UTF_8).trim.toLong
-    else 0L
+    pointer.currentVersion(p("VERSION"))
   }
+
+  /** Publish snapshot v+1 through the pointer protocol; a refused swap
+    * means another writer advanced the table since `v` was read — this
+    * commit's snapshot is stale and must abort loudly. */
+  private def advancePointer(v: Long): Unit =
+    if (!pointer.swap(p("VERSION"), v, v + 1))
+      throw new IllegalStateException(
+        s"pointer swap refused publishing v${v + 1} of $root: another " +
+          "writer advanced the table (the table is single-writer)")
 
   /** Declared cluster-layout columns (see [[ExactlyOnceSink]] `clusterBy`):
     * a hint that data files are value-clustered on these columns. Purely
@@ -716,7 +725,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
       } else
         s"""{"version":${v + 1},"parent":$v,"added":[${jsonStr(manifestName)}]}"""
     writeAtomic(p("snapshots", s"v${v + 1}.json"), snapshotJson)
-    writeAtomic(p("VERSION"), (v + 1).toString)
+    advancePointer(v)
     if (idsCacheVersion == v) { idsCache += batchId; idsCacheVersion = v + 1 }
     true
   } }
@@ -753,7 +762,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
       s"""{"replacesUpTo":$v,"batchIds":${batchIds.toSeq.sorted.mkString("[", ",", "]")},"rows":${written.map(_.rows).sum},"files":$filesJson,"metrics":{}}""")
     writeAtomic(p("snapshots", s"v${v + 1}.json"),
       s"""{"version":${v + 1},"added":[${jsonStr(manifestName)}],"manifests":[${jsonStr(manifestName)}]}""")
-    writeAtomic(p("VERSION"), (v + 1).toString)
+    advancePointer(v)
     if (idsCacheVersion == v) idsCacheVersion = v + 1 // same ids, new version
     v + 1
   } }
@@ -826,6 +835,124 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64) {
   def committedRows: Long = synchronized {
     snapshotManifests(version).map(m => manifest(m).rows).sum
   }
+
+  /** Row-level DELETE by predicate — the training-data takedown/opt-out
+    * path (GDPR erasure, licensing retractions) that an append-only table
+    * otherwise cannot express. Copy-on-write at FILE granularity:
+    *
+    *  1. the predicate's conjuncts are translated to source filters and
+    *     checked against each file's manifest stats. [[FilePrune.keep]]
+    *     proves "no row in this file can match" — exactly the safety
+    *     direction a delete needs, so a file is left untouched (and
+    *     NEVER rewritten or even read) only under that proof. At 100 TB a
+    *     takedown keyed on a clustered/partitioned column rewrites a few
+    *     files, not the table.
+    *  2. candidate files are read (directory-encoded partition values
+    *     re-injected), rows where the predicate is TRUE are dropped
+    *     (NULL keeps the row — SQL DELETE semantics), survivors are
+    *     rewritten under data/delete=v&lt;N&gt;/ preserving the partition
+    *     layout.
+    *  3. one REWRITE manifest (untouched files by reference + rewritten
+    *     files) becomes the new snapshot — same chain semantics as
+    *     [[compact]]: replays of any batch stay no-ops, time travel below
+    *     the delete still serves the PRE-delete rows until [[vacuum]]
+    *     expires them (which is what makes the erasure real on disk),
+    *     fresh streams backfill post-delete contents exactly once, and
+    *     readers resumed past the delete version skip the rewrite.
+    *     A reader resumed strictly inside the replaced range re-reads
+    *     original manifests (pre-delete rows) — the same retention
+    *     contract as compaction: vacuum only once readers are past it.
+    *
+    * Returns the number of rows deleted. */
+  def delete(spark: SparkSession, predicate: org.apache.spark.sql.Column): Long =
+    synchronized { withProcessLock("delete") {
+      import org.apache.spark.sql.catalyst.{expressions => ce}
+      import org.apache.spark.sql.{sources => sf}
+      val v = version
+      require(v > 0, "nothing to delete from")
+      val batchIds = committedBatchIds
+      val allFiles = snapshotManifests(v).flatMap(m => manifest(m).files)
+
+      // resolve the predicate against the table (loud failure on unknown
+      // columns), then translate its conjuncts for stats-based pruning —
+      // untranslatable conjuncts simply prune nothing (conservative)
+      val cond = readVersion(spark, v).filter(predicate)
+        .queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+      def ext(l: ce.Literal): Any =
+        org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(l.value, l.dataType)
+      def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
+        case ce.And(a, b) => conjuncts(a) ++ conjuncts(b)
+        case other => Seq(other)
+      }
+      def toFilter(e: ce.Expression): Option[sf.Filter] = e match {
+        case ce.EqualTo(a: ce.AttributeReference, l: ce.Literal) => Some(sf.EqualTo(a.name, ext(l)))
+        case ce.EqualTo(l: ce.Literal, a: ce.AttributeReference) => Some(sf.EqualTo(a.name, ext(l)))
+        case ce.GreaterThan(a: ce.AttributeReference, l: ce.Literal) => Some(sf.GreaterThan(a.name, ext(l)))
+        case ce.GreaterThan(l: ce.Literal, a: ce.AttributeReference) => Some(sf.LessThan(a.name, ext(l)))
+        case ce.GreaterThanOrEqual(a: ce.AttributeReference, l: ce.Literal) => Some(sf.GreaterThanOrEqual(a.name, ext(l)))
+        case ce.GreaterThanOrEqual(l: ce.Literal, a: ce.AttributeReference) => Some(sf.LessThanOrEqual(a.name, ext(l)))
+        case ce.LessThan(a: ce.AttributeReference, l: ce.Literal) => Some(sf.LessThan(a.name, ext(l)))
+        case ce.LessThan(l: ce.Literal, a: ce.AttributeReference) => Some(sf.GreaterThan(a.name, ext(l)))
+        case ce.LessThanOrEqual(a: ce.AttributeReference, l: ce.Literal) => Some(sf.LessThanOrEqual(a.name, ext(l)))
+        case ce.LessThanOrEqual(l: ce.Literal, a: ce.AttributeReference) => Some(sf.GreaterThanOrEqual(a.name, ext(l)))
+        case ce.IsNull(a: ce.AttributeReference) => Some(sf.IsNull(a.name))
+        case ce.IsNotNull(a: ce.AttributeReference) => Some(sf.IsNotNull(a.name))
+        case _ => None
+      }
+      val pruneFilters = cond.toSeq.flatMap(conjuncts).flatMap(toFilter)
+      val (cands, untouched) = allFiles.partition(f => FilePrune.keep(f, pruneFilters))
+
+      var deleted = 0L
+      var newFiles = Array.empty[FileInfo]
+      if (cands.nonEmpty) {
+        val dataDir = p("data", s"delete=v$v")
+        val tableSchema = schemaOf
+        // group candidates by directory-encoded partition values: those
+        // live in the path, not the files, and the predicate may
+        // reference them — re-inject constants before evaluating it
+        val groups = cands.groupBy(_.pv).toSeq
+        val dfs = groups.map { case (pv, fs) =>
+          val base = tableSchema match {
+            case Some(sc) =>
+              val fileSchema = org.apache.spark.sql.types.StructType(
+                sc.fields.filterNot(f => pv.contains(f.name)))
+              spark.read.schema(fileSchema).parquet(fs.map(_.path): _*)
+            case None => spark.read.parquet(fs.map(_.path): _*)
+          }
+          pv.toSeq.sortBy(_._1).foldLeft(base) { case (d, (c, ov)) =>
+            val dt = tableSchema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+              .getOrElse(org.apache.spark.sql.types.StringType)
+            d.withColumn(c, lit(ov.orNull).cast(dt))
+          }
+        }
+        // keep rows where the predicate is FALSE or NULL (SQL DELETE
+        // removes only TRUE matches)
+        val keepRows = dfs.reduce(_ unionByName _)
+          .filter(!coalesce(predicate, lit(false)))
+        val pc = partCols.filter(keepRows.columns.contains)
+        val w = keepRows.write.mode("overwrite")
+        (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(dataDir.toString)
+        val written = writtenFiles(dataDir, spark.sessionState.newHadoopConf(),
+          tableSchema.orElse(Some(keepRows.schema)))
+        // empty outputs carry no rows — drop them from the manifest and
+        // the disk rather than shipping 0-row scan units forever
+        val (live, empty) = written.partition(_.rows > 0)
+        empty.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+        newFiles = live
+        deleted = cands.map(_.rows).sum - newFiles.map(_.rows).sum
+      }
+      val all = (untouched ++ newFiles).toArray.sortBy((x: FileInfo) => x.path)
+      val manifestName = s"manifest-delete-v$v.json"
+      writeAtomic(p("manifests", manifestName),
+        s"""{"replacesUpTo":$v,"batchIds":${batchIds.toSeq.sorted.mkString("[", ",", "]")},"rows":${all.map(_.rows).sum},"files":${filesJsonOf(all)},"metrics":{"rows_deleted":$deleted}}""")
+      writeAtomic(p("snapshots", s"v${v + 1}.json"),
+        s"""{"version":${v + 1},"added":[${jsonStr(manifestName)}],"manifests":[${jsonStr(manifestName)}]}""")
+      advancePointer(v)
+      if (idsCacheVersion == v) idsCacheVersion = v + 1 // same ids, new version
+      deleted
+    } }
 }
 
 /** Exactly-once streaming sink over [[GraftTable]]: plug into

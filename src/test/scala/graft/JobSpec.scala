@@ -48,6 +48,20 @@ class JobSpec extends AnyFunSuite {
       "--target-files", "abc")).isLeft)
     assert(Main.parseArgs(Array("--job", "compact", "--output", "o",
       "--target-files", "0")).isLeft)
+    // row-level delete is a maintenance job and requires a predicate
+    assert(Main.parseArgs(Array("--job", "delete", "--output", "o")).isLeft)
+    assert(Main.parseArgs(Array("--job", "delete", "--output", "o",
+      "--where", " ")).isLeft)
+    assert(Main.parseArgs(Array("--job", "delete", "--output", "o",
+      "--where", "tenant = 't1'")).exists(_.where.contains("tenant = 't1'")))
+    // egress forward needs input + checkpoint + host:port, but no output
+    assert(Main.parseArgs(Array("--job", "forward", "--input", "i",
+      "--checkpoint", "c")).isLeft)
+    assert(Main.parseArgs(Array("--job", "forward", "--input", "i",
+      "--checkpoint", "c", "--egress", "localhost")).isLeft)
+    assert(Main.parseArgs(Array("--job", "forward", "--input", "i",
+      "--checkpoint", "c", "--egress", "localhost:4317"))
+      .exists(_.egress.contains("localhost:4317")))
   }
 
   test("disabled processor is a whole-stream identity pass-through") {
@@ -60,6 +74,46 @@ class JobSpec extends AnyFunSuite {
     assert(out.collect().toSet == in.collect().toSet)
     // enabled=true actually processes (events + passthrough union)
     assert(Pipeline.process(s, in, enabled = true).columns.contains("event_uid"))
+  }
+
+  test("live metrics: counters readable in-process and over JMX while the stream runs") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val listener = new graft.metrics.Metrics.Listener(jmxName = Some("test-live"))
+    s.streams.addListener(listener)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Clip]
+    try {
+      val events = graft.metrics.Metrics.observeEvents(
+        graft.streaming.StreamingJobs.events(s, ms.toDF()))
+      val q = events.writeStream.outputMode("append")
+        .format("memory").queryName("live_metrics_out").start()
+      ms.addData(Clip("clip-t0-s0-0000000001", 16000, 300, "wav",
+        "login ok", TestSpark.T0, 1L, 1L))
+      q.processAllAvailable()
+      // listener events are async — wait for the progress to land, then
+      // assert everything is visible while the query is still ACTIVE
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (listener.totals.isEmpty && System.nanoTime < deadline) Thread.sleep(50)
+      assert(q.isActive, "query must still be running for the 'live' claim")
+      assert(listener.totals.getOrElse("outgoing_events_total", 0L) >= 1L, listener.totals)
+      val df = listener.totalsDf(s)
+      assert(df.filter(col("counter") === "outgoing_events_total")
+        .select("value").head().getLong(0) >= 1L)
+      val mbs = java.lang.management.ManagementFactory.getPlatformMBeanServer
+      val json = mbs.getAttribute(
+        new javax.management.ObjectName("graft:type=Counters,name=test-live"),
+        "CountersJson").toString
+      assert(json.contains("\"outgoing_events_total\":"), json)
+      q.stop()
+      // termination unregisters the MBean
+      val deadline2 = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (mbs.isRegistered(new javax.management.ObjectName(
+        "graft:type=Counters,name=test-live")) && System.nanoTime < deadline2)
+        Thread.sleep(50)
+      assert(!mbs.isRegistered(new javax.management.ObjectName(
+        "graft:type=Counters,name=test-live")))
+    } finally s.streams.removeListener(listener)
   }
 
   test("GraftTable streaming source: table-to-table streaming pipeline") {

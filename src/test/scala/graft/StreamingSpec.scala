@@ -433,6 +433,163 @@ class StreamingSpec extends AnyFunSuite {
     assert(Seq(0, 1, 2, 3, 4).forall(b => dirs(0).exists(_.contains(s"batch=$b"))))
   }
 
+  test("row-level delete: copy-on-write at file granularity, exactly-once, vacuum erasure") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_del").toString)
+    // disjoint id ranges per commit so manifest stats can prove non-match
+    t.commit(Seq((1, "a"), (2, "b")).toDF("id", "v").coalesce(1), 0L)
+    t.commit(Seq((10, "c"), (11, "kill")).toDF("id", "v").coalesce(1), 1L)
+    t.commit(Seq((20, "d"), (21, "e")).toDF("id", "v").coalesce(1), 2L)
+    val vPre = t.version
+    val n = t.delete(s, col("id") === 11)
+    assert(n == 1L && t.version == vPre + 1)
+    val after = t.dataFiles
+    // CoW granularity: files whose stats prove no match keep their
+    // ORIGINAL paths (never read, never rewritten); only batch=1 moved
+    assert(after.exists(_.contains("batch=0")) && after.exists(_.contains("batch=2")), after)
+    assert(!after.exists(_.contains("batch=1")), s"non-matching file was rewritten: $after")
+    assert(after.exists(_.contains(s"delete=v$vPre")), after)
+    assert(t.read(s).count() == 5 && t.read(s).filter($"id" === 11).count() == 0)
+    // replays of pre-delete batches stay no-ops; committedRows tracks
+    assert(!t.commit(Seq((99, "replay")).toDF("id", "v"), 1L))
+    assert(t.committedRows == 5L)
+    // time travel below the delete still serves the pre-delete rows
+    assert(t.readVersion(s, vPre).count() == 6)
+    // fresh stream: post-delete rows exactly once
+    val dst = new GraftTable(Files.createTempDirectory("graft_del_dst").toString)
+    val sink = new ExactlyOnceSink(dst)
+    val q = t.readStream(s).writeStream
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_del").toString)
+      .foreachBatch(sink.write _).start()
+    q.processAllAvailable(); q.stop()
+    assert(dst.read(s).select("id").as[Int].collect().sorted.toSeq == Seq(1, 2, 10, 20, 21))
+    // a reader already past the delete version gets nothing from it
+    val stream = new GraftMicroBatchStream(t.root, t.read(s).schema, None)
+    assert(stream.planInputPartitions(GraftOffset(vPre + 1), GraftOffset(t.version)).isEmpty)
+    // vacuum makes the erasure real on disk: exactly the one replaced
+    // original file dies; untouched originals stay (referenced by path)
+    assert(t.vacuum(keepFromVersion = t.version) == 1)
+    assert(t.read(s).count() == 5)
+    intercept[Exception](t.readVersion(s, vPre).count())
+  }
+
+  test("row-level delete honors the partition layout and injected partition columns") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_del_part").toString)
+    val sink = new ExactlyOnceSink(t, partitionBy = Seq("tenant"))
+    sink.write(Seq((1L, "t0"), (2L, "t1"), (3L, "t1")).toDF("id", "tenant").coalesce(1), 0L)
+    sink.write(Seq((4L, "t0"), (5L, "t1")).toDF("id", "tenant").coalesce(1), 1L)
+    // predicate mixes a directory-encoded column (tenant, re-injected at
+    // delete time) with a data column: only batch=0/tenant=t1 (ids 2,3)
+    // can match — batch=1/tenant=t1 holds id=5, excluded by id<=2 stats
+    val n = t.delete(s, col("tenant") === "t1" && col("id") <= 2L)
+    assert(n == 1L, s"deleted $n")
+    assert(t.read(s).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+    val files = t.dataFiles
+    // t0 partitions pruned by their synthetic exact stats; batch=1's t1
+    // file pruned by the id conjunct — all three untouched
+    assert(files.exists(f => f.contains("batch=0") && f.contains("tenant=t0")), files)
+    assert(files.exists(f => f.contains("batch=1") && f.contains("tenant=t0")), files)
+    assert(files.exists(f => f.contains("batch=1") && f.contains("tenant=t1")), files)
+    assert(!files.exists(f => f.contains("batch=0") && f.contains("tenant=t1")),
+      s"the matching t1 original must be replaced: $files")
+    // the rewritten survivor (id=3) keeps the value-pure directory layout
+    assert(files.exists(f => f.contains("delete=v2") && f.contains("tenant=t1")), files)
+    // partition pruning still works post-delete
+    assert(t.read(s).filter($"tenant" === "t1").select("id").as[Long].collect().sorted.toSeq
+      == Seq(3L, 5L))
+  }
+
+  test("egress sink: at-least-once forward survives a flaky receiver, no loss") {
+    val s = spark
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    // a receiver that "commits" a chunk only when it acks it, and drops the
+    // connection INSTEAD of acking a few times — the un-acked chunk must be
+    // redelivered on a fresh connection for the no-loss assertion to hold
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val failuresToInject = new java.util.concurrent.atomic.AtomicInteger(3)
+    val server = new java.net.ServerSocket(0)
+    val acceptor = new Thread(() => {
+      try while (!server.isClosed) {
+        val sock = server.accept()
+        val h = new Thread(() => {
+          try {
+            val rd = new java.io.BufferedReader(
+              new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+            val os = sock.getOutputStream
+            var pending = List.empty[String]
+            var line = rd.readLine()
+            while (line != null) {
+              if (line == "#ack") {
+                if (failuresToInject.getAndDecrement() > 0) { sock.close(); line = null }
+                else {
+                  pending.reverse.foreach(received.add)
+                  pending = Nil
+                  os.write('1'); os.flush()
+                  line = rd.readLine()
+                }
+              } else { pending ::= line; line = rd.readLine() }
+            }
+          } catch { case _: java.io.IOException => () }
+          finally { try sock.close() catch { case _: java.io.IOException => () } }
+        })
+        h.setDaemon(true); h.start()
+      } catch { case _: java.io.IOException => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+
+    val t = new GraftTable(Files.createTempDirectory("graft_egress").toString)
+    (0 until 3).foreach(i => t.commit(Seq((i, s"v$i")).toDF("id", "v").coalesce(1), i.toLong))
+    val q = graft.sources.Egress.forward(t.readStream(s), "127.0.0.1", server.getLocalPort,
+      Files.createTempDirectory("ckpt_egress").toString, chunkRows = 2)
+    q.processAllAvailable(); q.stop()
+    server.close()
+
+    assert(failuresToInject.get() <= 0, "the receiver never actually flaked")
+    val ids = received.asScala.toSeq.flatMap("\"id\":(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toInt)
+    // every committed row delivered at least once; duplicates are the
+    // documented at-least-once trade (a chunk cut mid-ack is resent whole)
+    assert(ids.toSet == Set(0, 1, 2), s"lost rows: got $ids")
+  }
+
+  test("commit protocol is portable: all mutations green under a CAS pointer committer") {
+    val s = spark
+    import s.implicits._
+    // models an S3-class conditional PUT: compare-and-set semantics with a
+    // PLAIN write — no rename is ever issued on the pointer object, so a
+    // store without atomic rename still gets a linearizable pointer
+    val cas = new graft.table.PointerCommitter {
+      override def currentVersion(vf: java.nio.file.Path): Long = synchronized {
+        if (java.nio.file.Files.exists(vf))
+          new String(java.nio.file.Files.readAllBytes(vf)).trim.toLong
+        else 0L
+      }
+      override def swap(vf: java.nio.file.Path, expected: Long, next: Long): Boolean =
+        synchronized {
+          if (currentVersion(vf) != expected) false
+          else {
+            java.nio.file.Files.createDirectories(vf.getParent)
+            java.nio.file.Files.write(vf, next.toString.getBytes)
+            true
+          }
+        }
+    }
+    val t = new GraftTable(Files.createTempDirectory("graft_cas").toString, pointer = cas)
+    (0 until 3).foreach(i => t.commit(Seq((i, s"v$i")).toDF("id", "v").coalesce(1), i.toLong))
+    assert(t.version == 3 && t.read(s).count() == 3)
+    assert(t.compact(s, targetFiles = 1) == 4L)
+    assert(t.delete(s, col("id") === 1) == 1L)
+    assert(t.read(s).count() == 2)
+    assert(t.vacuum(keepFromVersion = t.version) >= 1)
+    assert(t.read(s).count() == 2 && t.version == 5)
+    // the CAS contract every commit relies on: a stale expected is refused
+    assert(!cas.swap(java.nio.file.Paths.get(t.root, "VERSION"), 0L, 99L))
+    assert(t.version == 5)
+  }
+
   test("steady-state triggers do bounded metadata I/O on a long-lived table") {
     val s = spark
     import s.implicits._
