@@ -129,10 +129,19 @@ object Main {
         else Right(c)
       }
       else if (c.job == "forward") {
+        // port parsed AND range-checked here — a 12-digit "port" passing a
+        // \d+ regex would otherwise escape as a raw NumberFormatException
+        // in main, and >65535 would throw per executor TASK at Socket
+        // construction (an IllegalArgumentException the sender's
+        // IOException retry never catches)
+        val egressOk = c.egress.exists { hp =>
+          val i = hp.lastIndexOf(':')
+          i > 0 && hp.substring(i + 1).toIntOption.exists(p => p >= 1 && p <= 65535)
+        }
         if (c.input.isEmpty || c.checkpoint.isEmpty)
           Left("--input and --checkpoint are required for --job forward")
-        else if (!c.egress.exists(_.matches(".+:\\d+")))
-          Left("--egress host:port is required for --job forward")
+        else if (!egressOk)
+          Left("--egress host:port is required for --job forward (port 1-65535)")
         else Right(c)
       }
       else if (c.input.isEmpty || c.output.isEmpty || c.checkpoint.isEmpty)
@@ -289,7 +298,10 @@ object Main {
       val q = graft.sources.Egress.forward(clips, hp.substring(0, colon),
         hp.substring(colon + 1).toInt, conf.checkpoint)
       if (conf.once) { q.processAllAvailable(); q.stop() } else q.awaitTermination()
-      println(s"""{"job":"forward","batches":${q.recentProgress.length}}""")
+      // NOT recentProgress.length: that is a ring buffer capped at ~100 —
+      // lastProgress.batchId is the true (0-based) latest batch
+      val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      println(s"""{"job":"forward","batches":$batches}""")
       spark.stop()
       return
     }

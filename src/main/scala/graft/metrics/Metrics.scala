@@ -54,11 +54,23 @@ object Metrics {
     * published as a platform-JMX MBean
     * (`graft:type=Counters,name=<jmxName>`, attribute `CountersJson`) —
     * scrapeable by any JMX agent with zero extra dependencies, registered
-    * at construction and unregistered when the query terminates. */
+    * at construction and unregistered when a TRACKED query terminates.
+    * `queryName` scopes a session-wide registration to one named query;
+    * counters from distinct queries never conflate (dedup is per stable
+    * query id), and only a tracked query's termination tears down the
+    * MBean. */
   final class Listener(persistRoot: Option[String] = None,
-                       jmxName: Option[String] = None) extends StreamingQueryListener {
+                       jmxName: Option[String] = None,
+                       queryName: Option[String] = None) extends StreamingQueryListener {
     val byBatch: TrieMap[Long, Map[String, Long]] = TrieMap.empty
     private val totalsMap = TrieMap.empty[String, Long]
+    // queries whose progress this listener has recorded (the listener is
+    // registered session-wide; an unrelated short-lived query must not
+    // tear down this listener's JMX surface or pollute its counters)
+    private val trackedIds = TrieMap.empty[java.util.UUID, Unit]
+    // (stable query id, batchId): dedupes batch replays across RESTARTS of
+    // the same query without conflating two queries' identical batchIds
+    private val seenBatch = TrieMap.empty[(java.util.UUID, Long), Unit]
 
     /** Cumulative counters across all completed batches so far — readable
       * at any time while the stream runs. */
@@ -85,12 +97,18 @@ object Metrics {
     }
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    // unregister only when a query THIS listener tracked terminates (or,
+    // before any progress was tracked, on the first termination — the
+    // single-query-per-process case, e.g. a forward job with no observed
+    // metrics); an unrelated query's death must not kill the scrape
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-      mbeanName.foreach { on =>
-        val mbs = java.lang.management.ManagementFactory.getPlatformMBeanServer
-        if (mbs.isRegistered(on)) mbs.unregisterMBean(on)
-      }
+      if (trackedIds.contains(e.id) || trackedIds.isEmpty)
+        mbeanName.foreach { on =>
+          val mbs = java.lang.management.ManagementFactory.getPlatformMBeanServer
+          if (mbs.isRegistered(on)) mbs.unregisterMBean(on)
+        }
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      if (queryName.exists(n => e.progress.name != n)) return
       val all = e.progress.observedMetrics.asScala
       val om = Seq(ObservationName, ErrorsObservationName).flatMap(all.get) match {
         case Nil => None
@@ -107,10 +125,11 @@ object Metrics {
         val dropped = e.progress.stateOperators
           .map(_.numRowsDroppedByWatermark).sum
         val m = observed + ("rows_dropped_by_watermark" -> dropped)
+        trackedIds.put(e.progress.id, ())
+        byBatch.put(e.progress.batchId, m)
         // a replayed batchId (query restart re-emitting progress) must not
         // double-count the cumulative totals — first sighting only
-        val firstSighting = byBatch.put(e.progress.batchId, m).isEmpty
-        if (firstSighting)
+        if (seenBatch.putIfAbsent((e.progress.id, e.progress.batchId), ()).isEmpty)
           m.foreach { case (k, v) => totalsMap(k) = totalsMap.getOrElse(k, 0L) + v }
         persistRoot.foreach { root =>
           val dir = java.nio.file.Paths.get(root, "metrics")

@@ -41,10 +41,10 @@ object Egress {
     * `foreachBatch`, or through [[forward]] for a checkpointed stream. */
   def writeBatch(df: DataFrame, host: String, port: Int,
                  chunkRows: Int = 512, maxRetries: Int = 8,
-                 baseBackoffMs: Long = 25L): Unit = {
-    require(chunkRows > 0 && maxRetries >= 0 && baseBackoffMs >= 0)
+                 baseBackoffMs: Long = 25L, timeoutMs: Int = 30000): Unit = {
+    require(chunkRows > 0 && maxRetries >= 0 && baseBackoffMs >= 0 && timeoutMs > 0)
     df.toJSON.foreachPartition { (it: Iterator[String]) =>
-      val sender = new ChunkSender(host, port, maxRetries, baseBackoffMs)
+      val sender = new ChunkSender(host, port, maxRetries, baseBackoffMs, timeoutMs)
       try it.grouped(chunkRows).foreach(chunk => sender.send(chunk))
       finally sender.close()
     }
@@ -54,11 +54,11 @@ object Egress {
     * graft table's change stream) to host:port. */
   def forward(stream: DataFrame, host: String, port: Int, checkpoint: String,
               chunkRows: Int = 512, maxRetries: Int = 8,
-              baseBackoffMs: Long = 25L): StreamingQuery =
+              baseBackoffMs: Long = 25L, timeoutMs: Int = 30000): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        writeBatch(batch, host, port, chunkRows, maxRetries, baseBackoffMs)
+        writeBatch(batch, host, port, chunkRows, maxRetries, baseBackoffMs, timeoutMs)
       }
       .start()
 }
@@ -67,14 +67,24 @@ object Egress {
   * for the per-chunk ack, reconnects + resends with exponential backoff on
   * any failure. Not thread-safe (one per partition task). */
 final class ChunkSender(host: String, port: Int, maxRetries: Int,
-                        baseBackoffMs: Long) {
+                        baseBackoffMs: Long, timeoutMs: Int = 30000) {
   private var sock: Socket = _
   private var out: BufferedOutputStream = _
   private var in: BufferedInputStream = _
 
   private def connect(): Unit = {
     close()
-    sock = new Socket(host, port)
+    // both bounds matter for the retry machinery to EVER engage: an
+    // unreachable host must not block on the OS connect default, and a
+    // receiver that accepts but never acks (wedged app thread) must
+    // surface as a SocketTimeoutException (an IOException → retried on a
+    // fresh connection) instead of parking the task forever in read().
+    // Writes are bounded too in practice: a chunk is ≤ chunkRows lines,
+    // and a stalled receiver zero-windows the flush only once kernel
+    // buffers fill — the unacked chunk then times out at the ack read.
+    sock = new Socket()
+    sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+    sock.setSoTimeout(timeoutMs)
     sock.setTcpNoDelay(true)
     out = new BufferedOutputStream(sock.getOutputStream)
     in = new BufferedInputStream(sock.getInputStream)

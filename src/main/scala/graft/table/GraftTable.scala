@@ -147,6 +147,17 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     pointer.currentVersion(p("VERSION"))
   }
 
+  /** Version-derived metadata objects (snapshot nodes, rewrite/delete
+    * manifests) publish through the pointer protocol too: their names
+    * collide exactly when two writers race one version, and a blind
+    * overwrite would let the CAS loser clobber the winner's published
+    * node BEFORE its own swap is refused. */
+  private def publishVersioned(target: Path, content: String): Unit =
+    if (!pointer.putVersioned(target, content))
+      throw new IllegalStateException(
+        s"refusing to overwrite $target: a competing writer may be " +
+          "mid-publish (the table is single-writer)")
+
   /** Publish snapshot v+1 through the pointer protocol; a refused swap
     * means another writer advanced the table since `v` was read — this
     * commit's snapshot is stale and must abort loudly. */
@@ -724,7 +735,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
         s"""{"version":${v + 1},"added":[${jsonStr(manifestName)}],"manifests":${manifests.map(jsonStr).mkString("[", ",", "]")}}"""
       } else
         s"""{"version":${v + 1},"parent":$v,"added":[${jsonStr(manifestName)}]}"""
-    writeAtomic(p("snapshots", s"v${v + 1}.json"), snapshotJson)
+    publishVersioned(p("snapshots", s"v${v + 1}.json"), snapshotJson)
     advancePointer(v)
     if (idsCacheVersion == v) { idsCache += batchId; idsCacheVersion = v + 1 }
     true
@@ -758,9 +769,9 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     val written = writtenFiles(dataDir, spark.sessionState.newHadoopConf(), Some(src.schema))
     val filesJson = filesJsonOf(written)
     val manifestName = s"manifest-rewrite-v$v.json"
-    writeAtomic(p("manifests", manifestName),
+    publishVersioned(p("manifests", manifestName),
       s"""{"replacesUpTo":$v,"batchIds":${batchIds.toSeq.sorted.mkString("[", ",", "]")},"rows":${written.map(_.rows).sum},"files":$filesJson,"metrics":{}}""")
-    writeAtomic(p("snapshots", s"v${v + 1}.json"),
+    publishVersioned(p("snapshots", s"v${v + 1}.json"),
       s"""{"version":${v + 1},"added":[${jsonStr(manifestName)}],"manifests":[${jsonStr(manifestName)}]}""")
     advancePointer(v)
     if (idsCacheVersion == v) idsCacheVersion = v + 1 // same ids, new version
@@ -886,17 +897,42 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
         case ce.And(a, b) => conjuncts(a) ++ conjuncts(b)
         case other => Seq(other)
       }
+      // The analyzer wraps the attribute in a Cast whenever the literal is
+      // a wider type (col("id") === 11L on an INT column); without
+      // unwrapping, NO conjunct translates, nothing prunes, and a one-row
+      // takedown rewrites the whole table. Unwrapping is sound exactly
+      // when the cast is a MONOTONE embedding of the raw column domain:
+      // FilePrune then compares raw long/double stats against the widened
+      // literal in the same order, and monotonicity (even non-strict,
+      // e.g. long→double) can only err toward KEEPING a file — never
+      // toward pruning one that matches.
+      import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+      val intRank = Map[org.apache.spark.sql.types.DataType, Int](
+        ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+      def monotoneWidening(from: org.apache.spark.sql.types.DataType,
+                           to: org.apache.spark.sql.types.DataType): Boolean =
+        (intRank.contains(from) && intRank.contains(to) && intRank(from) <= intRank(to)) ||
+          (from == FloatType && to == DoubleType) ||
+          (intRank.contains(from) && (to == FloatType || to == DoubleType))
+      object PA {
+        def unapply(e: ce.Expression): Option[ce.AttributeReference] = e match {
+          case a: ce.AttributeReference => Some(a)
+          case ce.Cast(a: ce.AttributeReference, dt, _, _)
+            if monotoneWidening(a.dataType, dt) => Some(a)
+          case _ => None
+        }
+      }
       def toFilter(e: ce.Expression): Option[sf.Filter] = e match {
-        case ce.EqualTo(a: ce.AttributeReference, l: ce.Literal) => Some(sf.EqualTo(a.name, ext(l)))
-        case ce.EqualTo(l: ce.Literal, a: ce.AttributeReference) => Some(sf.EqualTo(a.name, ext(l)))
-        case ce.GreaterThan(a: ce.AttributeReference, l: ce.Literal) => Some(sf.GreaterThan(a.name, ext(l)))
-        case ce.GreaterThan(l: ce.Literal, a: ce.AttributeReference) => Some(sf.LessThan(a.name, ext(l)))
-        case ce.GreaterThanOrEqual(a: ce.AttributeReference, l: ce.Literal) => Some(sf.GreaterThanOrEqual(a.name, ext(l)))
-        case ce.GreaterThanOrEqual(l: ce.Literal, a: ce.AttributeReference) => Some(sf.LessThanOrEqual(a.name, ext(l)))
-        case ce.LessThan(a: ce.AttributeReference, l: ce.Literal) => Some(sf.LessThan(a.name, ext(l)))
-        case ce.LessThan(l: ce.Literal, a: ce.AttributeReference) => Some(sf.GreaterThan(a.name, ext(l)))
-        case ce.LessThanOrEqual(a: ce.AttributeReference, l: ce.Literal) => Some(sf.LessThanOrEqual(a.name, ext(l)))
-        case ce.LessThanOrEqual(l: ce.Literal, a: ce.AttributeReference) => Some(sf.GreaterThanOrEqual(a.name, ext(l)))
+        case ce.EqualTo(PA(a), l: ce.Literal) => Some(sf.EqualTo(a.name, ext(l)))
+        case ce.EqualTo(l: ce.Literal, PA(a)) => Some(sf.EqualTo(a.name, ext(l)))
+        case ce.GreaterThan(PA(a), l: ce.Literal) => Some(sf.GreaterThan(a.name, ext(l)))
+        case ce.GreaterThan(l: ce.Literal, PA(a)) => Some(sf.LessThan(a.name, ext(l)))
+        case ce.GreaterThanOrEqual(PA(a), l: ce.Literal) => Some(sf.GreaterThanOrEqual(a.name, ext(l)))
+        case ce.GreaterThanOrEqual(l: ce.Literal, PA(a)) => Some(sf.LessThanOrEqual(a.name, ext(l)))
+        case ce.LessThan(PA(a), l: ce.Literal) => Some(sf.LessThan(a.name, ext(l)))
+        case ce.LessThan(l: ce.Literal, PA(a)) => Some(sf.GreaterThan(a.name, ext(l)))
+        case ce.LessThanOrEqual(PA(a), l: ce.Literal) => Some(sf.LessThanOrEqual(a.name, ext(l)))
+        case ce.LessThanOrEqual(l: ce.Literal, PA(a)) => Some(sf.GreaterThanOrEqual(a.name, ext(l)))
         case ce.IsNull(a: ce.AttributeReference) => Some(sf.IsNull(a.name))
         case ce.IsNotNull(a: ce.AttributeReference) => Some(sf.IsNotNull(a.name))
         case _ => None
@@ -945,9 +981,9 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       }
       val all = (untouched ++ newFiles).toArray.sortBy((x: FileInfo) => x.path)
       val manifestName = s"manifest-delete-v$v.json"
-      writeAtomic(p("manifests", manifestName),
+      publishVersioned(p("manifests", manifestName),
         s"""{"replacesUpTo":$v,"batchIds":${batchIds.toSeq.sorted.mkString("[", ",", "]")},"rows":${all.map(_.rows).sum},"files":${filesJsonOf(all)},"metrics":{"rows_deleted":$deleted}}""")
-      writeAtomic(p("snapshots", s"v${v + 1}.json"),
+      publishVersioned(p("snapshots", s"v${v + 1}.json"),
         s"""{"version":${v + 1},"added":[${jsonStr(manifestName)}],"manifests":[${jsonStr(manifestName)}]}""")
       advancePointer(v)
       if (idsCacheVersion == v) idsCacheVersion = v + 1 // same ids, new version

@@ -28,6 +28,21 @@ trait PointerCommitter {
   /** Atomically publish `next` iff the pointer still reads `expected`.
     * False = lost the race (the caller must abort, not overwrite). */
   def swap(versionFile: Path, expected: Long, next: Long): Boolean
+
+  /** Publish a VERSION-DERIVED metadata object (snapshot node, rewrite/
+    * delete manifest). Unlike batch manifests, these names collide exactly
+    * when two writers race the same version, so a blind overwrite would
+    * let the CAS LOSER clobber the winner's already-published node before
+    * its own `swap` is refused. False = an object already exists there
+    * and may belong to a live competing writer — the caller must abort.
+    *
+    * The rename implementation overwrites and returns true: under the
+    * advisory single-writer lock, a same-name leftover can only be a
+    * crashed writer's orphan. An object-store implementation uses a
+    * conditional PUT (if-none-match) and is itself responsible for
+    * expiring crashed-writer orphans (lease/timestamp) before a retry can
+    * succeed. */
+  def putVersioned(target: Path, content: String): Boolean
 }
 
 /** Rename-based default for filesystems with atomic move. Writers are
@@ -50,4 +65,14 @@ object RenamePointerCommitter extends PointerCommitter {
       Files.move(tmp, vf, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       true
     }
+
+  override def putVersioned(target: Path, content: String): Boolean = {
+    // single-writer lock held by the caller ⇒ a pre-existing same-name
+    // object is always a crashed writer's orphan: safe to replace
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    true
+  }
 }

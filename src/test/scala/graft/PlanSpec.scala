@@ -205,6 +205,10 @@ class PlanSpec extends AnyFunSuite {
         s"capped pair $pair scored $scored but uncapped says ${full.get(pair)}")
     }
     assert(capped.size <= full.size)
+    // the cap-hit observability hook: cap 0 makes EVERY shingle hot, a
+    // huge cap none — callers can tell when the recall trade engaged
+    assert(graft.operators.Dedup.hotShingleCount(docs, 0L) > 0L)
+    assert(graft.operators.Dedup.hotShingleCount(docs, Long.MaxValue) == 0L)
   }
 
   test("cosine near-dup: bucketed equi-join plan, results ⊆ exact all-pairs") {

@@ -442,7 +442,11 @@ class StreamingSpec extends AnyFunSuite {
     t.commit(Seq((10, "c"), (11, "kill")).toDF("id", "v").coalesce(1), 1L)
     t.commit(Seq((20, "d"), (21, "e")).toDF("id", "v").coalesce(1), 2L)
     val vPre = t.version
-    val n = t.delete(s, col("id") === 11)
+    // LONG literal against the INT column: the analyzer wraps the
+    // attribute in Cast(id AS BIGINT) — stats pruning must survive the
+    // unwrap or this one-row takedown would rewrite every file (the CoW
+    // assertions below would then fail on batch=0/batch=2)
+    val n = t.delete(s, col("id") === 11L)
     assert(n == 1L && t.version == vPre + 1)
     val after = t.dataFiles
     // CoW granularity: files whose stats prove no match keep their
@@ -576,6 +580,17 @@ class StreamingSpec extends AnyFunSuite {
             true
           }
         }
+      // conditional PUT (if-none-match): an existing same-name object may
+      // be a live competing writer's — refuse, never clobber
+      override def putVersioned(target: java.nio.file.Path, content: String): Boolean =
+        synchronized {
+          if (java.nio.file.Files.exists(target)) false
+          else {
+            java.nio.file.Files.createDirectories(target.getParent)
+            java.nio.file.Files.write(target, content.getBytes("UTF-8"))
+            true
+          }
+        }
     }
     val t = new GraftTable(Files.createTempDirectory("graft_cas").toString, pointer = cas)
     (0 until 3).foreach(i => t.commit(Seq((i, s"v$i")).toDF("id", "v").coalesce(1), i.toLong))
@@ -588,6 +603,14 @@ class StreamingSpec extends AnyFunSuite {
     // the CAS contract every commit relies on: a stale expected is refused
     assert(!cas.swap(java.nio.file.Paths.get(t.root, "VERSION"), 0L, 99L))
     assert(t.version == 5)
+    // a competing writer's already-published v6 node must never be
+    // clobbered by this writer's commit — it aborts loudly instead
+    val rival = java.nio.file.Paths.get(t.root, "snapshots", "v6.json")
+    java.nio.file.Files.write(rival, """{"version":6,"added":[],"manifests":[]}""".getBytes("UTF-8"))
+    intercept[IllegalStateException](t.commit(Seq((7, "x")).toDF("id", "v"), 77L))
+    assert(new String(java.nio.file.Files.readAllBytes(rival), "UTF-8").contains("\"added\":[]"),
+      "the rival writer's snapshot node was overwritten")
+    assert(t.version == 5) // the pointer never advanced past the abort
   }
 
   test("steady-state triggers do bounded metadata I/O on a long-lived table") {
