@@ -50,11 +50,14 @@ object Dedup {
   private def shinglesOf(d: DataFrame): DataFrame =
     d.select(col("doc_id"), explode(shinglesExpr).as("shingle"))
 
-  private def shingleRows(d: DataFrame): DataFrame = {
-    val sh = shinglesOf(d).cache()
-    pinned.synchronized { pinned += sh }
-    sh
+  /** Cache + pin a relation until [[releaseCaches]]. */
+  private def pinDf(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    pinned.synchronized { pinned += c }
+    c
   }
+
+  private def shingleRows(d: DataFrame): DataFrame = pinDf(shinglesOf(d))
 
   /** Unpersist every shingle relation pinned since the last release. Call
     * after the dedup query's action completes (Verify/Bench do). */
@@ -150,22 +153,38 @@ FROM documents GROUP BY 1"""
   def ngramJaccard(d: DataFrame, minX1000: Long = 200,
                    maxShingleDf: Option[Long] = Some(DefaultMaxShingleDf)): DataFrame = {
     val sh = shingleRows(d)
-    val candSh = maxShingleDf match {
-      case None => sh
-      case Some(cap) =>
-        val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("shingle")
-        sh.join(rare, Seq("shingle"), "left_semi")
-    }
-    val candPairs = candSh.as("a")
-      .join(candSh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val common = maxShingleDf match {
       case None =>
-        candPairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-      case Some(_) =>
-        // exact common over FULL shingle sets, restricted to candidates
-        commonForCandidates(candPairs.distinct(), sh)
+        sh.as("a")
+          .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      case Some(cap) =>
+        // split the exact common count by shingle temperature:
+        //   common(a,b) = |shared rare| + |shared hot|.
+        // The rare term falls out of the candidate-generating self-join
+        // itself (one row per shared rare shingle — no second pass), and
+        // the hot term re-joins candidates against ONLY the hot shingle
+        // rows. When no shingle exceeds the cap (clean corpora — the
+        // common case) the hot relation is empty and the capped path
+        // costs the same as the uncapped one; the round-4 first cut
+        // re-verified candidates against the FULL shingle relation and
+        // tripled the benchmark time for zero extra information.
+        val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val rareSh = sh.join(df.filter(col("df") <= cap).select("shingle"), Seq("shingle"), "left_semi")
+        val hotSh = sh.join(df.filter(col("df") > cap).select("shingle"), Seq("shingle"), "left_semi")
+        // pinned: commonRare feeds BOTH the hot-term candidate list and
+        // the final sum join — uncached, the rare self-join would run
+        // twice (released with the shingle cache by releaseCaches)
+        val commonRare = pinDf(rareSh.as("a")
+          .join(rareSh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common_rare")))
+        val commonHot = commonForCandidates(commonRare.select("doc_a", "doc_b"), hotSh)
+          .withColumnRenamed("common", "common_hot")
+        commonRare.join(commonHot, Seq("doc_a", "doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"),
+            (col("common_rare") + coalesce(col("common_hot"), lit(0L))).as("common"))
     }
     jaccardScored(common, sh.groupBy("doc_id").agg(count(lit(1)).as("sz")), minX1000)
       .select("doc_a", "doc_b", "common", "jac_x1000")

@@ -935,6 +935,15 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
         case ce.LessThanOrEqual(l: ce.Literal, PA(a)) => Some(sf.GreaterThanOrEqual(a.name, ext(l)))
         case ce.IsNull(a: ce.AttributeReference) => Some(sf.IsNull(a.name))
         case ce.IsNotNull(a: ce.AttributeReference) => Some(sf.IsNotNull(a.name))
+        // the most common takedown shape: id IN (<list>); InSet is the
+        // optimizer's large-list form (values are Catalyst-internal, in
+        // the CHILD expression's type — convert through that type)
+        case ce.In(pa @ PA(a), vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
+          Some(sf.In(a.name, vs.map(v => ext(v.asInstanceOf[ce.Literal])).toArray))
+        case ce.InSet(pa @ PA(a), hset) =>
+          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToScalaConverter(pa.dataType)
+          Some(sf.In(a.name, hset.toArray.map(conv)))
         case _ => None
       }
       val pruneFilters = cond.toSeq.flatMap(conjuncts).flatMap(toFilter)

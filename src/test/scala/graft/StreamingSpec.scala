@@ -476,6 +476,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.vacuum(keepFromVersion = t.version) == 1)
     assert(t.read(s).count() == 5)
     intercept[Exception](t.readVersion(s, vPre).count())
+    // IN-list takedown (the common shape) also prunes: only the one file
+    // whose stats admit a listed id (batch=2: ids 20,21) is touched; both
+    // its rows match, so it vanishes with no replacement file
+    val before = t.dataFiles.toSet
+    assert(t.delete(s, col("id").isin(20, 21)) == 2L)
+    assert(t.read(s).select("id").as[Int].collect().sorted.toSeq == Seq(1, 2, 10))
+    val kept = t.dataFiles.toSet
+    assert(!kept.exists(_.contains("batch=2")), kept)
+    // every other file is untouched — same paths as before the IN delete
+    assert(kept == before.filterNot(_.contains("batch=2")), s"$before -> $kept")
   }
 
   test("row-level delete honors the partition layout and injected partition columns") {
