@@ -170,7 +170,11 @@ FROM documents GROUP BY 1"""
         // costs the same as the uncapped one; the round-4 first cut
         // re-verified candidates against the FULL shingle relation and
         // tripled the benchmark time for zero extra information.
-        val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        // pinned: the DF aggregate feeds BOTH semi-join legs (rareSh
+        // inside the cached commonRare, hotSh in the final plan) and
+        // exchange reuse cannot cross the InMemoryRelation boundary —
+        // uncached it would run the full-shingle groupBy twice per query
+        val df = pinDf(sh.groupBy("shingle").agg(count(lit(1)).as("df")))
         val rareSh = sh.join(df.filter(col("df") <= cap).select("shingle"), Seq("shingle"), "left_semi")
         val hotSh = sh.join(df.filter(col("df") > cap).select("shingle"), Seq("shingle"), "left_semi")
         // pinned: commonRare feeds BOTH the hot-term candidate list and

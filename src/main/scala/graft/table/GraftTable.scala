@@ -909,11 +909,18 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
       val intRank = Map[org.apache.spark.sql.types.DataType, Int](
         ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+      // NO Float target: Catalyst then evaluates equality in FLOAT (which
+      // rounds) while FilePrune compares the raw stats in DOUBLE (which
+      // does not) — a row whose float-rounded value equals the literal can
+      // sit in a file whose double-domain bracket excludes it, and an
+      // equality takedown silently misses the row. Double targets are
+      // safe: the cast applied to a row IS (up to the same non-strict
+      // monotone toDouble) the conversion cmp applies to the stats, so
+      // min.toDouble ≤ cast(row) ≤ max.toDouble whenever the row matches.
       def monotoneWidening(from: org.apache.spark.sql.types.DataType,
                            to: org.apache.spark.sql.types.DataType): Boolean =
         (intRank.contains(from) && intRank.contains(to) && intRank(from) <= intRank(to)) ||
-          (from == FloatType && to == DoubleType) ||
-          (intRank.contains(from) && (to == FloatType || to == DoubleType))
+          ((intRank.contains(from) || from == FloatType) && to == DoubleType)
       object PA {
         def unapply(e: ce.Expression): Option[ce.AttributeReference] = e match {
           case a: ce.AttributeReference => Some(a)
@@ -922,32 +929,65 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
           case _ => None
         }
       }
+      // any attribute-free foldable expression — the analyzer wraps the
+      // NARROWER side of a comparison in a Cast, which can be the literal
+      // side just as well as the attribute side (lit(11) against a LONG
+      // column), and IN-list elements are likewise Cast(Literal) after
+      // type coercion; matching bare Literal only would silently disable
+      // pruning for all of those
+      object FV {
+        def unapply(e: ce.Expression): Option[Any] =
+          if (e.foldable && e.deterministic &&
+              !e.exists(_.isInstanceOf[ce.AttributeReference]))
+            try Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .convertToScala(e.eval(), e.dataType))
+            catch { case _: RuntimeException => None } // ANSI cast overflow etc.
+          else None
+      }
       def toFilter(e: ce.Expression): Option[sf.Filter] = e match {
-        case ce.EqualTo(PA(a), l: ce.Literal) => Some(sf.EqualTo(a.name, ext(l)))
-        case ce.EqualTo(l: ce.Literal, PA(a)) => Some(sf.EqualTo(a.name, ext(l)))
-        case ce.GreaterThan(PA(a), l: ce.Literal) => Some(sf.GreaterThan(a.name, ext(l)))
-        case ce.GreaterThan(l: ce.Literal, PA(a)) => Some(sf.LessThan(a.name, ext(l)))
-        case ce.GreaterThanOrEqual(PA(a), l: ce.Literal) => Some(sf.GreaterThanOrEqual(a.name, ext(l)))
-        case ce.GreaterThanOrEqual(l: ce.Literal, PA(a)) => Some(sf.LessThanOrEqual(a.name, ext(l)))
-        case ce.LessThan(PA(a), l: ce.Literal) => Some(sf.LessThan(a.name, ext(l)))
-        case ce.LessThan(l: ce.Literal, PA(a)) => Some(sf.GreaterThan(a.name, ext(l)))
-        case ce.LessThanOrEqual(PA(a), l: ce.Literal) => Some(sf.LessThanOrEqual(a.name, ext(l)))
-        case ce.LessThanOrEqual(l: ce.Literal, PA(a)) => Some(sf.GreaterThanOrEqual(a.name, ext(l)))
+        case ce.EqualTo(PA(a), FV(v)) => Some(sf.EqualTo(a.name, v))
+        case ce.EqualTo(FV(v), PA(a)) => Some(sf.EqualTo(a.name, v))
+        case ce.GreaterThan(PA(a), FV(v)) => Some(sf.GreaterThan(a.name, v))
+        case ce.GreaterThan(FV(v), PA(a)) => Some(sf.LessThan(a.name, v))
+        case ce.GreaterThanOrEqual(PA(a), FV(v)) => Some(sf.GreaterThanOrEqual(a.name, v))
+        case ce.GreaterThanOrEqual(FV(v), PA(a)) => Some(sf.LessThanOrEqual(a.name, v))
+        case ce.LessThan(PA(a), FV(v)) => Some(sf.LessThan(a.name, v))
+        case ce.LessThan(FV(v), PA(a)) => Some(sf.GreaterThan(a.name, v))
+        case ce.LessThanOrEqual(PA(a), FV(v)) => Some(sf.LessThanOrEqual(a.name, v))
+        case ce.LessThanOrEqual(FV(v), PA(a)) => Some(sf.GreaterThanOrEqual(a.name, v))
         case ce.IsNull(a: ce.AttributeReference) => Some(sf.IsNull(a.name))
         case ce.IsNotNull(a: ce.AttributeReference) => Some(sf.IsNotNull(a.name))
-        // the most common takedown shape: id IN (<list>); InSet is the
-        // optimizer's large-list form (values are Catalyst-internal, in
-        // the CHILD expression's type — convert through that type)
-        case ce.In(pa @ PA(a), vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
-          Some(sf.In(a.name, vs.map(v => ext(v.asInstanceOf[ce.Literal])).toArray))
+        // the most common takedown shape: id IN (<list>) — non-empty only
+        // (FilePrune keeps everything for an empty list; the empty case
+        // short-circuits the whole delete below)
+        case ce.In(PA(a), vs) if vs.nonEmpty =>
+          val converted = vs.map(FV.unapply)
+          if (converted.forall(_.isDefined)) Some(sf.In(a.name, converted.map(_.get).toArray))
+          else None
+        // defensive: live only when a caller hands an optimizer-folded
+        // predicate (the analyzed plan keeps large lists as In)
         case ce.InSet(pa @ PA(a), hset) =>
           val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
             .createToScalaConverter(pa.dataType)
           Some(sf.In(a.name, hset.toArray.map(conv)))
         case _ => None
       }
+      // a provably-unsatisfiable predicate (empty IN list, literal false)
+      // matches nothing: return without rewriting a byte or burning a
+      // version — without this, isin() with no args rewrote every file as
+      // a no-op copy
+      val neverMatches = cond.exists(c => conjuncts(c).exists {
+        case ce.In(_, Seq()) => true
+        case ce.Literal(false, _) => true
+        case ce.Literal(null, _) => true
+        case _ => false
+      })
+      if (neverMatches) return 0L
       val pruneFilters = cond.toSeq.flatMap(conjuncts).flatMap(toFilter)
       val (cands, untouched) = allFiles.partition(f => FilePrune.keep(f, pruneFilters))
+      // stats prove no file can contain a match: nothing to do, commit
+      // no version
+      if (cands.isEmpty) return 0L
 
       var deleted = 0L
       var newFiles = Array.empty[FileInfo]

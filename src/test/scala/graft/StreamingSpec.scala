@@ -486,6 +486,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(!kept.exists(_.contains("batch=2")), kept)
     // every other file is untouched — same paths as before the IN delete
     assert(kept == before.filterNot(_.contains("batch=2")), s"$before -> $kept")
+    // provably-unsatisfiable or stats-excluded predicates are FULL no-ops:
+    // no rewrite, no version bump (isin() with no args once rewrote every
+    // file as a no-op copy)
+    val vNow = t.version
+    assert(t.delete(s, col("id").isin()) == 0L)
+    assert(t.delete(s, col("id") === 424242) == 0L)
+    assert(t.version == vNow && t.dataFiles.toSet == kept)
   }
 
   test("row-level delete honors the partition layout and injected partition columns") {
@@ -497,8 +504,11 @@ class StreamingSpec extends AnyFunSuite {
     sink.write(Seq((4L, "t0"), (5L, "t1")).toDF("id", "tenant").coalesce(1), 1L)
     // predicate mixes a directory-encoded column (tenant, re-injected at
     // delete time) with a data column: only batch=0/tenant=t1 (ids 2,3)
-    // can match — batch=1/tenant=t1 holds id=5, excluded by id<=2 stats
-    val n = t.delete(s, col("tenant") === "t1" && col("id") <= 2L)
+    // can match — batch=1/tenant=t1 holds id=5, excluded by id<=2 stats.
+    // The INT literal 2 against the LONG id column wraps the LITERAL side
+    // in a cast — pruning must survive that too (the attribute-side cast
+    // is covered by the non-partitioned test)
+    val n = t.delete(s, col("tenant") === "t1" && col("id") <= 2)
     assert(n == 1L, s"deleted $n")
     assert(t.read(s).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
     val files = t.dataFiles
@@ -514,6 +524,14 @@ class StreamingSpec extends AnyFunSuite {
     // partition pruning still works post-delete
     assert(t.read(s).filter($"tenant" === "t1").select("id").as[Long].collect().sorted.toSeq
       == Seq(3L, 5L))
+    // IN list of INT literals against the LONG column (every element is
+    // Cast(Literal) in the analyzed plan): still prunes — only the two
+    // stats-admitted files are touched, both vanish whole
+    val beforeIn = t.dataFiles.toSet
+    assert(t.delete(s, col("id").isin(4, 5)) == 2L)
+    assert(t.read(s).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(t.dataFiles.toSet == beforeIn.filterNot(_.contains("batch=1")),
+      s"$beforeIn -> ${t.dataFiles.toSet}")
   }
 
   test("egress sink: at-least-once forward survives a flaky receiver, no loss") {
