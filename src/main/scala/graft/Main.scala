@@ -135,13 +135,17 @@ object Main {
         // construction (an IllegalArgumentException the sender's
         // IOException retry never catches)
         val egressOk = c.egress.exists { hp =>
-          val i = hp.lastIndexOf(':')
-          i > 0 && hp.substring(i + 1).toIntOption.exists(p => p >= 1 && p <= 65535)
+          if (hp.startsWith("http://") || hp.startsWith("https://"))
+            scala.util.Try(java.net.URI.create(hp).toURL).isSuccess
+          else {
+            val i = hp.lastIndexOf(':')
+            i > 0 && hp.substring(i + 1).toIntOption.exists(p => p >= 1 && p <= 65535)
+          }
         }
         if (c.input.isEmpty || c.checkpoint.isEmpty)
           Left("--input and --checkpoint are required for --job forward")
         else if (!egressOk)
-          Left("--egress host:port is required for --job forward (port 1-65535)")
+          Left("--egress host:port or http(s)://url is required for --job forward (port 1-65535)")
         else Right(c)
       }
       else if (c.input.isEmpty || c.output.isEmpty || c.checkpoint.isEmpty)
@@ -294,9 +298,14 @@ object Main {
     // no table sink, no output; at-least-once via acked chunks + replay
     if (conf.job == "forward") {
       val hp = conf.egress.get
-      val colon = hp.lastIndexOf(':')
-      val q = graft.sources.Egress.forward(clips, hp.substring(0, colon),
-        hp.substring(colon + 1).toInt, conf.checkpoint)
+      val q =
+        if (hp.startsWith("http://") || hp.startsWith("https://"))
+          graft.sources.Egress.forwardHttp(clips, hp, conf.checkpoint)
+        else {
+          val colon = hp.lastIndexOf(':')
+          graft.sources.Egress.forward(clips, hp.substring(0, colon),
+            hp.substring(colon + 1).toInt, conf.checkpoint)
+        }
       if (conf.once) { q.processAllAvailable(); q.stop() } else q.awaitTermination()
       // NOT recentProgress.length: that is a ring buffer capped at ~100 —
       // lastProgress.batchId is the true (0-based) latest batch

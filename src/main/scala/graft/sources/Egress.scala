@@ -61,6 +61,84 @@ object Egress {
         writeBatch(batch, host, port, chunkRows, maxRetries, baseBackoffMs, timeoutMs)
       }
       .start()
+
+  /** HTTP variant of [[writeBatch]]: each chunk is one POST whose body is
+    * the JSON lines (`application/x-ndjson`); ANY 2xx response is the
+    * ack, anything else (or a transport error) retries with the same
+    * backoff. HTTP gives the ack for free, so this composes with plain
+    * collector endpoints — no custom receiver protocol needed. */
+  def writeBatchHttp(df: DataFrame, url: String,
+                     chunkRows: Int = 512, maxRetries: Int = 8,
+                     baseBackoffMs: Long = 25L, timeoutMs: Int = 30000): Unit = {
+    require(chunkRows > 0 && maxRetries >= 0 && baseBackoffMs >= 0 && timeoutMs > 0)
+    require(url.startsWith("http://") || url.startsWith("https://"),
+      s"not an http(s) url: $url")
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      val sender = new HttpChunkSender(url, maxRetries, baseBackoffMs, timeoutMs)
+      it.grouped(chunkRows).foreach(chunk => sender.send(chunk))
+    }
+  }
+
+  /** Checkpointed at-least-once HTTP forward (see [[writeBatchHttp]]). */
+  def forwardHttp(stream: DataFrame, url: String, checkpoint: String,
+                  chunkRows: Int = 512, maxRetries: Int = 8,
+                  baseBackoffMs: Long = 25L, timeoutMs: Int = 30000): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeBatchHttp(batch, url, chunkRows, maxRetries, baseBackoffMs, timeoutMs)
+      }
+      .start()
+
+  /** Shared chunk-retry loop: run `once` until it stops throwing
+    * IOException, with exponential backoff (capped at 64× base) and
+    * `onFailure` (connection teardown) between attempts. */
+  private[sources] def retrying(maxRetries: Int, baseBackoffMs: Long, what: String,
+                                onFailure: () => Unit = () => ())(once: () => Unit): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { once(); done = true }
+      catch {
+        case e: IOException =>
+          onFailure()
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IOException(s"$what failed after $maxRetries retries", e)
+          Thread.sleep(baseBackoffMs << math.min(attempt - 1, 6))
+      }
+    }
+  }
+}
+
+/** One task's HTTP chunk sender: POST per chunk, 2xx = delivered.
+  * Stateless between chunks (HttpURLConnection pools keep-alive
+  * underneath), so there is no connection to reset on failure. */
+final class HttpChunkSender(url: String, maxRetries: Int,
+                            baseBackoffMs: Long, timeoutMs: Int) {
+  private val target = java.net.URI.create(url).toURL
+
+  def send(lines: Seq[String]): Unit =
+    Egress.retrying(maxRetries, baseBackoffMs, s"egress POST $url") { () =>
+      val conn = target.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-ndjson")
+      try {
+        val os = conn.getOutputStream
+        lines.foreach { l => os.write(l.getBytes(StandardCharsets.UTF_8)); os.write('\n') }
+        os.close()
+        val code = conn.getResponseCode
+        if (code / 100 != 2)
+          throw new IOException(s"egress POST $url returned $code")
+        // drain so the connection is reusable by the underlying pool
+        val is = conn.getInputStream
+        while (is.read() >= 0) ()
+        is.close()
+      } finally conn.disconnect()
+    }
 }
 
 /** One task's connection to the egress receiver: sends line chunks, waits
@@ -91,33 +169,20 @@ final class ChunkSender(host: String, port: Int, maxRetries: Int,
   }
 
   /** Deliver `lines` (each becomes one `\n`-terminated line) and block for
-    * the receiver's ack; resends the whole chunk on failure. */
-  def send(lines: Seq[String]): Unit = {
-    var attempt = 0
-    var done = false
-    while (!done) {
-      try {
-        if (out == null) connect()
-        lines.foreach { l =>
-          out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
-        }
-        out.write(ChunkSender.AckMarker.getBytes(StandardCharsets.UTF_8))
-        out.flush()
-        // the ack byte is the delivery proof; EOF (-1) = receiver died
-        if (in.read() < 0) throw new IOException("receiver closed before ack")
-        done = true
-      } catch {
-        case e: IOException =>
-          close()
-          attempt += 1
-          if (attempt > maxRetries)
-            throw new IOException(
-              s"egress to $host:$port failed after $maxRetries retries", e)
-          // exponential backoff, capped at 64× base
-          Thread.sleep(baseBackoffMs << math.min(attempt - 1, 6))
+    * the receiver's ack; resends the whole chunk on a fresh connection on
+    * failure (shared retry/backoff loop with the HTTP sender). */
+  def send(lines: Seq[String]): Unit =
+    Egress.retrying(maxRetries, baseBackoffMs, s"egress to $host:$port",
+      onFailure = () => close()) { () =>
+      if (out == null) connect()
+      lines.foreach { l =>
+        out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
       }
+      out.write(ChunkSender.AckMarker.getBytes(StandardCharsets.UTF_8))
+      out.flush()
+      // the ack byte is the delivery proof; EOF (-1) = receiver died
+      if (in.read() < 0) throw new IOException("receiver closed before ack")
     }
-  }
 
   def close(): Unit = {
     if (sock != null) {

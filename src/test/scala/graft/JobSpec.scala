@@ -62,6 +62,12 @@ class JobSpec extends AnyFunSuite {
     assert(Main.parseArgs(Array("--job", "forward", "--input", "i",
       "--checkpoint", "c", "--egress", "localhost:4317"))
       .exists(_.egress.contains("localhost:4317")))
+    // ports are range-checked, and http(s) endpoints are accepted
+    assert(Main.parseArgs(Array("--job", "forward", "--input", "i",
+      "--checkpoint", "c", "--egress", "localhost:99999999999")).isLeft)
+    assert(Main.parseArgs(Array("--job", "forward", "--input", "i",
+      "--checkpoint", "c", "--egress", "http://collector:4318/v1/logs"))
+      .exists(_.egress.exists(_.startsWith("http://"))))
   }
 
   test("disabled processor is a whole-stream identity pass-through") {

@@ -587,6 +587,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSet == Set(0, 1, 2), s"lost rows: got $ids")
   }
 
+  test("egress HTTP: POST-per-chunk with 2xx acks, redelivery on 5xx, no loss") {
+    val s = spark
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val failuresToInject = new java.util.concurrent.atomic.AtomicInteger(2)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/ingest", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      if (failuresToInject.getAndDecrement() > 0) {
+        // 503 WITHOUT recording: the sender must re-POST the whole chunk
+        ex.sendResponseHeaders(503, -1)
+      } else {
+        body.split("\n").filter(_.nonEmpty).foreach(received.add)
+        ex.sendResponseHeaders(200, 0)
+        ex.getResponseBody.close()
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val t = new GraftTable(Files.createTempDirectory("graft_egress_http").toString)
+      (0 until 3).foreach(i => t.commit(Seq((i, s"v$i")).toDF("id", "v").coalesce(1), i.toLong))
+      val q = graft.sources.Egress.forwardHttp(t.readStream(s),
+        s"http://127.0.0.1:${server.getAddress.getPort}/ingest",
+        Files.createTempDirectory("ckpt_egress_http").toString, chunkRows = 2)
+      q.processAllAvailable(); q.stop()
+      assert(failuresToInject.get() <= 0, "the endpoint never actually failed")
+      val ids = received.asScala.toSeq
+        .flatMap("\"id\":(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toInt)
+      assert(ids.toSet == Set(0, 1, 2), s"lost rows: got $ids")
+    } finally server.stop(0)
+  }
+
+  test("delete + change stream: retention contract for mid-backlog readers") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_del_stream").toString)
+    (0 until 3).foreach(i =>
+      t.commit(Seq((i * 10, s"b$i"), (i * 10 + 1, s"b$i")).toDF("id", "v").coalesce(1), i.toLong))
+    assert(t.delete(s, col("id") === 11L) == 1L) // v4, rewrites batch=1
+    t.commit(Seq((100, "post")).toDF("id", "v").coalesce(1), 9L) // v5
+    val stream = new GraftMicroBatchStream(t.root, t.read(s).schema, None)
+    def dirs(from: Long) = stream
+      .planInputPartitions(GraftOffset(from), GraftOffset(t.version))
+      .map(_.asInstanceOf[GraftInputPartition].path).toSeq
+    // reader mid-backlog (consumed v1 only): serves the remaining ORIGINAL
+    // manifests — including batch=1's PRE-delete rows — plus the post
+    // commit; the delete rewrite is skipped. This is the same retention
+    // contract as compaction: vacuum only once readers are past the
+    // rewrite, and the erasure is complete only after vacuum anyway.
+    val mid = dirs(1)
+    assert(mid.exists(_.contains("batch=1")) && mid.exists(_.contains("batch=2"))
+      && mid.exists(_.contains("batch=9")), mid)
+    assert(!mid.exists(_.contains("delete=")), s"rewrite must be skipped: $mid")
+    // reader past the delete: only the post-delete commit
+    val past = dirs(4)
+    assert(past.nonEmpty && past.forall(_.contains("batch=9")), past)
+    // fresh reader: post-delete contents exactly once (rewrite backfill),
+    // never the replaced original
+    val fresh = dirs(0)
+    assert(fresh.exists(_.contains("delete=v3")) && fresh.exists(_.contains("batch=9")), fresh)
+    assert(!fresh.exists(_.contains("batch=1")), s"fresh read must not see pre-delete rows: $fresh")
+  }
+
   test("commit protocol is portable: all mutations green under a CAS pointer committer") {
     val s = spark
     import s.implicits._
