@@ -135,11 +135,10 @@ object Main {
         // construction (an IllegalArgumentException the sender's
         // IOException retry never catches)
         val egressOk = c.egress.exists { hp =>
-          if (hp.startsWith("http://") || hp.startsWith("https://"))
-            scala.util.Try(java.net.URI.create(hp).toURL).isSuccess
-          else {
+          graft.sources.Egress.isHttpUrl(hp) || {
             val i = hp.lastIndexOf(':')
-            i > 0 && hp.substring(i + 1).toIntOption.exists(p => p >= 1 && p <= 65535)
+            i > 0 && hp.substring(i + 1).toIntOption.exists(p => p >= 1 && p <= 65535) &&
+              !hp.toLowerCase(java.util.Locale.ROOT).startsWith("http")
           }
         }
         if (c.input.isEmpty || c.checkpoint.isEmpty)
@@ -299,7 +298,7 @@ object Main {
     if (conf.job == "forward") {
       val hp = conf.egress.get
       val q =
-        if (hp.startsWith("http://") || hp.startsWith("https://"))
+        if (graft.sources.Egress.isHttpUrl(hp))
           graft.sources.Egress.forwardHttp(clips, hp, conf.checkpoint)
         else {
           val colon = hp.lastIndexOf(':')

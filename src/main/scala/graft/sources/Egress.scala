@@ -50,17 +50,31 @@ object Egress {
     }
   }
 
+  /** One scheme test for the three dispatch/validation sites (Main's arg
+    * validation, Main's runtime dispatch, [[writeBatchHttp]]'s require) —
+    * schemes are case-insensitive (RFC 3986) and an empty host must fail
+    * validation, not burn stream-time retries on an unresolvable name. */
+  def isHttpUrl(s: String): Boolean = {
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    (lower.startsWith("http://") || lower.startsWith("https://")) &&
+      (try { val h = java.net.URI.create(s).getHost; h != null && h.nonEmpty }
+       catch { case _: IllegalArgumentException => false })
+  }
+
+  private def forwardWith(stream: DataFrame, checkpoint: String)
+                         (write: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) => write(batch) }
+      .start()
+
   /** Checkpointed at-least-once forward of a STREAMING DataFrame (e.g. a
     * graft table's change stream) to host:port. */
   def forward(stream: DataFrame, host: String, port: Int, checkpoint: String,
               chunkRows: Int = 512, maxRetries: Int = 8,
               baseBackoffMs: Long = 25L, timeoutMs: Int = 30000): StreamingQuery =
-    stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        writeBatch(batch, host, port, chunkRows, maxRetries, baseBackoffMs, timeoutMs)
-      }
-      .start()
+    forwardWith(stream, checkpoint)(
+      writeBatch(_, host, port, chunkRows, maxRetries, baseBackoffMs, timeoutMs))
 
   /** HTTP variant of [[writeBatch]]: each chunk is one POST whose body is
     * the JSON lines (`application/x-ndjson`); ANY 2xx response is the
@@ -71,8 +85,7 @@ object Egress {
                      chunkRows: Int = 512, maxRetries: Int = 8,
                      baseBackoffMs: Long = 25L, timeoutMs: Int = 30000): Unit = {
     require(chunkRows > 0 && maxRetries >= 0 && baseBackoffMs >= 0 && timeoutMs > 0)
-    require(url.startsWith("http://") || url.startsWith("https://"),
-      s"not an http(s) url: $url")
+    require(isHttpUrl(url), s"not an http(s) url with a host: $url")
     df.toJSON.foreachPartition { (it: Iterator[String]) =>
       val sender = new HttpChunkSender(url, maxRetries, baseBackoffMs, timeoutMs)
       it.grouped(chunkRows).foreach(chunk => sender.send(chunk))
@@ -83,12 +96,8 @@ object Egress {
   def forwardHttp(stream: DataFrame, url: String, checkpoint: String,
                   chunkRows: Int = 512, maxRetries: Int = 8,
                   baseBackoffMs: Long = 25L, timeoutMs: Int = 30000): StreamingQuery =
-    stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        writeBatchHttp(batch, url, chunkRows, maxRetries, baseBackoffMs, timeoutMs)
-      }
-      .start()
+    forwardWith(stream, checkpoint)(
+      writeBatchHttp(_, url, chunkRows, maxRetries, baseBackoffMs, timeoutMs))
 
   /** Shared chunk-retry loop: run `once` until it stops throwing
     * IOException, with exponential backoff (capped at 64× base) and
@@ -126,18 +135,22 @@ final class HttpChunkSender(url: String, maxRetries: Int,
       conn.setRequestMethod("POST")
       conn.setDoOutput(true)
       conn.setRequestProperty("Content-Type", "application/x-ndjson")
-      try {
-        val os = conn.getOutputStream
-        lines.foreach { l => os.write(l.getBytes(StandardCharsets.UTF_8)); os.write('\n') }
-        os.close()
-        val code = conn.getResponseCode
-        if (code / 100 != 2)
-          throw new IOException(s"egress POST $url returned $code")
-        // drain so the connection is reusable by the underlying pool
-        val is = conn.getInputStream
-        while (is.read() >= 0) ()
-        is.close()
-      } finally conn.disconnect()
+      val os = conn.getOutputStream
+      lines.foreach { l => os.write(l.getBytes(StandardCharsets.UTF_8)); os.write('\n') }
+      os.close()
+      val code = conn.getResponseCode
+      if (code / 100 != 2) {
+        // drain the error body so the JDK can reuse the socket, then fail
+        val es = conn.getErrorStream
+        if (es != null) { try { while (es.read() >= 0) () } finally es.close() }
+        throw new IOException(s"egress POST $url returned $code")
+      }
+      // fully consuming + closing the response stream (NOT disconnect(),
+      // which tears the socket down) is what lets the JDK keep-alive
+      // cache reuse the connection — per-chunk TCP/TLS handshakes would
+      // otherwise dominate small-chunk egress on high-latency links
+      val is = conn.getInputStream
+      try { while (is.read() >= 0) () } finally is.close()
     }
 }
 

@@ -504,7 +504,18 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
                   (a: String, b: String) => a.toLong < b.toLong))
                 catch { case _: ArithmeticException => dead += colName; None }
               case DOUBLE | FLOAT =>
-                Some(("double", st.genericGetMin.toString, st.genericGetMax.toString,
+                // FLOAT must serialize through doubleValue: the row/filter
+                // comparison domain is (double)floatValue, but
+                // Float.toString("1.1f") re-parses as a DIFFERENT double
+                // (1.1000000000000001 vs 1.1000000238418580) — a stats
+                // string on the wrong side of that gap prunes a file whose
+                // row legally matches an equality takedown. Double.toString
+                // of the widened value round-trips exactly.
+                def numStr(v: Any): String = v match {
+                  case f: java.lang.Float => f.doubleValue.toString
+                  case other => other.toString
+                }
+                Some(("double", numStr(st.genericGetMin), numStr(st.genericGetMax),
                   (a: String, b: String) => a.toDouble < b.toDouble))
               case BINARY if isStr =>
                 // merge in UTF-8 BYTE order (parquet's stats comparator and
@@ -978,6 +989,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       // a no-op copy
       val neverMatches = cond.exists(c => conjuncts(c).exists {
         case ce.In(_, Seq()) => true
+        case ce.InSet(_, s) if s.isEmpty => true
         case ce.Literal(false, _) => true
         case ce.Literal(null, _) => true
         case _ => false

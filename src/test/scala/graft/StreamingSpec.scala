@@ -622,6 +622,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("delete on a FLOAT column: stats round-trip in the row's double domain") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_del_float").toString)
+    // 1.1f is the canary: Float.toString("1.1") re-parses as a DIFFERENT
+    // double than (double)1.1f — stats serialized the old way put the
+    // file's min/max on the wrong side of the row value and the equality
+    // takedown pruned the matching file (silent row retention)
+    t.commit(Seq((1, 1.1f)).toDF("id", "f").coalesce(1), 0L)
+    t.commit(Seq((2, 2.2f)).toDF("id", "f").coalesce(1), 1L)
+    assert(t.delete(s, col("f") === 1.1f) == 1L, "the matching float row was missed")
+    assert(t.read(s).select("id").as[Int].collect().toSeq == Seq(2))
+    // the non-matching file is still pruned (untouched, original path)
+    assert(t.dataFiles.exists(_.contains("batch=1")), t.dataFiles)
+    assert(!t.dataFiles.exists(_.contains("batch=0")), t.dataFiles)
+  }
+
   test("delete + change stream: retention contract for mid-backlog readers") {
     val s = spark
     import s.implicits._
