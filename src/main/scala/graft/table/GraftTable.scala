@@ -888,8 +888,6 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     * Returns the number of rows deleted. */
   def delete(spark: SparkSession, predicate: org.apache.spark.sql.Column): Long =
     synchronized { withProcessLock("delete") {
-      import org.apache.spark.sql.catalyst.{expressions => ce}
-      import org.apache.spark.sql.{sources => sf}
       val v = version
       require(v > 0, "nothing to delete from")
       val batchIds = committedBatchIds
@@ -897,105 +895,17 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
 
       // resolve the predicate against the table (loud failure on unknown
       // columns), then translate its conjuncts for stats-based pruning —
-      // untranslatable conjuncts simply prune nothing (conservative)
-      val cond = readVersion(spark, v).filter(predicate)
-        .queryExecution.analyzed.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-        }
-      def ext(l: ce.Literal): Any =
-        org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(l.value, l.dataType)
-      def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
-        case ce.And(a, b) => conjuncts(a) ++ conjuncts(b)
-        case other => Seq(other)
-      }
-      // The analyzer wraps the attribute in a Cast whenever the literal is
-      // a wider type (col("id") === 11L on an INT column); without
-      // unwrapping, NO conjunct translates, nothing prunes, and a one-row
-      // takedown rewrites the whole table. Unwrapping is sound exactly
-      // when the cast is a MONOTONE embedding of the raw column domain:
-      // FilePrune then compares raw long/double stats against the widened
-      // literal in the same order, and monotonicity (even non-strict,
-      // e.g. long→double) can only err toward KEEPING a file — never
-      // toward pruning one that matches.
-      import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
-      val intRank = Map[org.apache.spark.sql.types.DataType, Int](
-        ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
-      // NO Float target: Catalyst then evaluates equality in FLOAT (which
-      // rounds) while FilePrune compares the raw stats in DOUBLE (which
-      // does not) — a row whose float-rounded value equals the literal can
-      // sit in a file whose double-domain bracket excludes it, and an
-      // equality takedown silently misses the row. Double targets are
-      // safe: the cast applied to a row IS (up to the same non-strict
-      // monotone toDouble) the conversion cmp applies to the stats, so
-      // min.toDouble ≤ cast(row) ≤ max.toDouble whenever the row matches.
-      def monotoneWidening(from: org.apache.spark.sql.types.DataType,
-                           to: org.apache.spark.sql.types.DataType): Boolean =
-        (intRank.contains(from) && intRank.contains(to) && intRank(from) <= intRank(to)) ||
-          ((intRank.contains(from) || from == FloatType) && to == DoubleType)
-      object PA {
-        def unapply(e: ce.Expression): Option[ce.AttributeReference] = e match {
-          case a: ce.AttributeReference => Some(a)
-          case ce.Cast(a: ce.AttributeReference, dt, _, _)
-            if monotoneWidening(a.dataType, dt) => Some(a)
-          case _ => None
-        }
-      }
-      // any attribute-free foldable expression — the analyzer wraps the
-      // NARROWER side of a comparison in a Cast, which can be the literal
-      // side just as well as the attribute side (lit(11) against a LONG
-      // column), and IN-list elements are likewise Cast(Literal) after
-      // type coercion; matching bare Literal only would silently disable
-      // pruning for all of those
-      object FV {
-        def unapply(e: ce.Expression): Option[Any] =
-          if (e.foldable && e.deterministic &&
-              !e.exists(_.isInstanceOf[ce.AttributeReference]))
-            try Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
-              .convertToScala(e.eval(), e.dataType))
-            catch { case _: RuntimeException => None } // ANSI cast overflow etc.
-          else None
-      }
-      def toFilter(e: ce.Expression): Option[sf.Filter] = e match {
-        case ce.EqualTo(PA(a), FV(v)) => Some(sf.EqualTo(a.name, v))
-        case ce.EqualTo(FV(v), PA(a)) => Some(sf.EqualTo(a.name, v))
-        case ce.GreaterThan(PA(a), FV(v)) => Some(sf.GreaterThan(a.name, v))
-        case ce.GreaterThan(FV(v), PA(a)) => Some(sf.LessThan(a.name, v))
-        case ce.GreaterThanOrEqual(PA(a), FV(v)) => Some(sf.GreaterThanOrEqual(a.name, v))
-        case ce.GreaterThanOrEqual(FV(v), PA(a)) => Some(sf.LessThanOrEqual(a.name, v))
-        case ce.LessThan(PA(a), FV(v)) => Some(sf.LessThan(a.name, v))
-        case ce.LessThan(FV(v), PA(a)) => Some(sf.GreaterThan(a.name, v))
-        case ce.LessThanOrEqual(PA(a), FV(v)) => Some(sf.LessThanOrEqual(a.name, v))
-        case ce.LessThanOrEqual(FV(v), PA(a)) => Some(sf.GreaterThanOrEqual(a.name, v))
-        case ce.IsNull(a: ce.AttributeReference) => Some(sf.IsNull(a.name))
-        case ce.IsNotNull(a: ce.AttributeReference) => Some(sf.IsNotNull(a.name))
-        // the most common takedown shape: id IN (<list>) — non-empty only
-        // (FilePrune keeps everything for an empty list; the empty case
-        // short-circuits the whole delete below)
-        case ce.In(PA(a), vs) if vs.nonEmpty =>
-          val converted = vs.map(FV.unapply)
-          if (converted.forall(_.isDefined)) Some(sf.In(a.name, converted.map(_.get).toArray))
-          else None
-        // defensive: live only when a caller hands an optimizer-folded
-        // predicate (the analyzed plan keeps large lists as In)
-        case ce.InSet(pa @ PA(a), hset) =>
-          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
-            .createToScalaConverter(pa.dataType)
-          Some(sf.In(a.name, hset.toArray.map(conv)))
-        case _ => None
-      }
+      // the translation soundness contract lives in [[DeletePruning]]
+      // (property-tested: a file containing a matching row is NEVER
+      // pruned)
+      val cond = DeletePruning.analyzedCondition(readVersion(spark, v), predicate)
       // a provably-unsatisfiable predicate (empty IN list, literal false)
       // matches nothing: return without rewriting a byte or burning a
       // version — without this, isin() with no args rewrote every file as
       // a no-op copy
-      val neverMatches = cond.exists(c => conjuncts(c).exists {
-        case ce.In(_, Seq()) => true
-        case ce.InSet(_, s) if s.isEmpty => true
-        case ce.Literal(false, _) => true
-        case ce.Literal(null, _) => true
-        case _ => false
-      })
+      val neverMatches = DeletePruning.neverMatches(cond)
       if (neverMatches) return 0L
-      val pruneFilters = cond.toSeq.flatMap(conjuncts).flatMap(toFilter)
+      val pruneFilters = DeletePruning.filtersFor(cond)
       val (cands, untouched) = allFiles.partition(f => FilePrune.keep(f, pruneFilters))
       // stats prove no file can contain a match: nothing to do, commit
       // no version
