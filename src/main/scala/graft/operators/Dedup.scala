@@ -165,30 +165,41 @@ FROM documents GROUP BY 1"""
         // The rare term falls out of the candidate-generating self-join
         // itself (one row per shared rare shingle — no second pass), and
         // the hot term re-joins candidates against ONLY the hot shingle
-        // rows. When no shingle exceeds the cap (clean corpora — the
-        // common case) the hot relation is empty and the capped path
-        // costs the same as the uncapped one; the round-4 first cut
-        // re-verified candidates against the FULL shingle relation and
-        // tripled the benchmark time for zero extra information.
-        // pinned: the DF aggregate feeds BOTH semi-join legs (rareSh
-        // inside the cached commonRare, hotSh in the final plan) and
-        // exchange reuse cannot cross the InMemoryRelation boundary —
-        // uncached it would run the full-shingle groupBy twice per query
+        // rows; the round-4 first cut re-verified candidates against the
+        // FULL shingle relation and tripled the benchmark time for zero
+        // extra information.
+        // pinned: the DF aggregate is probed below AND feeds the
+        // semi-join legs — exchange reuse cannot cross the
+        // InMemoryRelation boundary, so uncached it would run the
+        // full-shingle groupBy repeatedly per query
         val df = pinDf(sh.groupBy("shingle").agg(count(lit(1)).as("df")))
-        val rareSh = sh.join(df.filter(col("df") <= cap).select("shingle"), Seq("shingle"), "left_semi")
-        val hotSh = sh.join(df.filter(col("df") > cap).select("shingle"), Seq("shingle"), "left_semi")
-        // pinned: commonRare feeds BOTH the hot-term candidate list and
-        // the final sum join — uncached, the rare self-join would run
-        // twice (released with the shingle cache by releaseCaches)
-        val commonRare = pinDf(rareSh.as("a")
-          .join(rareSh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common_rare")))
-        val commonHot = commonForCandidates(commonRare.select("doc_a", "doc_b"), hotSh)
-          .withColumnRenamed("common", "common_hot")
-        commonRare.join(commonHot, Seq("doc_a", "doc_b"), "left")
-          .select(col("doc_a"), col("doc_b"),
-            (col("common_rare") + coalesce(col("common_hot"), lit(0L))).as("common"))
+        // adaptive plan choice (the AQE spirit, decided driver-side from
+        // one tiny probe of the pinned aggregate): a corpus with NO hot
+        // shingle gets the exact uncapped plan — identical results, zero
+        // overhead for the scale safety; only a corpus that actually has
+        // hot shingles builds the rare/hot split
+        val hasHot = df.filter(col("df") > cap).limit(1).count() > 0
+        if (!hasHot)
+          sh.as("a")
+            .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+        else {
+          val rareSh = sh.join(df.filter(col("df") <= cap).select("shingle"), Seq("shingle"), "left_semi")
+          val hotSh = sh.join(df.filter(col("df") > cap).select("shingle"), Seq("shingle"), "left_semi")
+          // pinned: commonRare feeds BOTH the hot-term candidate list and
+          // the final sum join — uncached, the rare self-join would run
+          // twice (released with the shingle cache by releaseCaches)
+          val commonRare = pinDf(rareSh.as("a")
+            .join(rareSh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common_rare")))
+          val commonHot = commonForCandidates(commonRare.select("doc_a", "doc_b"), hotSh)
+            .withColumnRenamed("common", "common_hot")
+          commonRare.join(commonHot, Seq("doc_a", "doc_b"), "left")
+            .select(col("doc_a"), col("doc_b"),
+              (col("common_rare") + coalesce(col("common_hot"), lit(0L))).as("common"))
+        }
     }
     jaccardScored(common, sh.groupBy("doc_id").agg(count(lit(1)).as("sz")), minX1000)
       .select("doc_a", "doc_b", "common", "jac_x1000")
