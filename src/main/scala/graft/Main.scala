@@ -28,6 +28,10 @@ import graft.table.{ExactlyOnceSink, GraftTable}
   *   --job delete  --where <predicate>    row-level copy-on-write delete
   *                                        (takedown path; stats-pruned
   *                                        file rewrite, see GraftTable.delete)
+  *   --job update  --where <predicate> \
+  *     --set "col=<sql expr>" [--set ...]  row-level copy-on-write update
+  *                                        (redaction path; values cast to
+  *                                        the column's declared type)
   *
   * Network egress (the exporter analog; composes with the pipeline jobs:
   * run a pipeline job into a table, then forward that table's change
@@ -68,14 +72,15 @@ object Main {
                           partitionBy: Seq[String] = Nil,
                           targetFiles: Int = 32, keepFrom: Option[Long] = None,
                           where: Option[String] = None,
-                          egress: Option[String] = None)
+                          egress: Option[String] = None,
+                          sets: Seq[String] = Nil)
 
   val ValidJobs: Set[String] =
     Set("events", "pipeline", "windows", "sessions", "cep",
-      "compact", "vacuum", "describe", "delete", "forward")
+      "compact", "vacuum", "describe", "delete", "update", "forward")
 
   /** Table-maintenance jobs: operate on --output only (no stream). */
-  val MaintenanceJobs: Set[String] = Set("compact", "vacuum", "describe", "delete")
+  val MaintenanceJobs: Set[String] = Set("compact", "vacuum", "describe", "delete", "update")
 
   def parseArgs(args: Array[String]): Either[String, Config] = {
     def loop(rest: List[String], c: Config): Either[String, Config] = rest match {
@@ -100,8 +105,10 @@ object Main {
       // maintenance-job knobs: small-file compaction size / vacuum floor
       case "--target-files" :: v :: t => loop(t, c.copy(targetFiles = v.toInt))
       case "--keep-from" :: v :: t => loop(t, c.copy(keepFrom = Some(v.toLong)))
-      // row-level delete predicate (SQL boolean expression over the table)
+      // row-level delete/update predicate (SQL boolean expression)
       case "--where" :: v :: t => loop(t, c.copy(where = Some(v)))
+      // row-level update assignment "col=<sql expr>" (repeatable)
+      case "--set" :: v :: t => loop(t, c.copy(sets = c.sets :+ v))
       // network egress target for --job forward
       case "--egress" :: v :: t => loop(t, c.copy(egress = Some(v)))
       // Hive-style directory layout on the sink table: value-pure files
@@ -123,8 +130,14 @@ object Main {
         if (c.output.isEmpty) Left(s"--output is required for --job ${c.job}")
         else if (c.job == "vacuum" && c.keepFrom.isEmpty)
           Left("--keep-from <version> is required for --job vacuum")
-        else if (c.job == "delete" && c.where.forall(_.trim.isEmpty))
-          Left("--where <predicate> is required for --job delete")
+        else if ((c.job == "delete" || c.job == "update") && c.where.forall(_.trim.isEmpty))
+          Left(s"--where <predicate> is required for --job ${c.job}")
+        else if (c.job == "update" && c.sets.isEmpty)
+          Left("at least one --set \"col=<sql expr>\" is required for --job update")
+        else if (c.job == "update" && c.sets.exists(sv => {
+          val i = sv.indexOf('='); i <= 0 || sv.drop(i + 1).trim.isEmpty
+        }))
+          Left("every --set must look like col=<sql expr>")
         else if (c.targetFiles <= 0) Left("--target-files must be positive")
         else Right(c)
       }
@@ -247,7 +260,7 @@ object Main {
       spark.stop()
       return
     }
-    if (conf.job == "delete") {
+    if (conf.job == "delete" || conf.job == "update") {
       maintenance(cleanup = () => spark.stop()) {
         val table = new GraftTable(conf.output)
         // parse/analysis failures follow the "[graft] ..." + exit 2
@@ -257,11 +270,24 @@ object Main {
           catch { case e: org.apache.spark.sql.catalyst.parser.ParseException =>
             throw new IllegalArgumentException(s"malformed --where: ${e.getMessage}") }
         val n =
-          try table.delete(spark, pred)
-          catch { case e: org.apache.spark.sql.AnalysisException =>
-            throw new IllegalArgumentException(
-              s"--where does not resolve against the table: ${e.getMessage}") }
-        println(s"""{"job":"delete","rows_deleted":$n,"new_version":${table.version}}""")
+          try {
+            if (conf.job == "delete") table.delete(spark, pred)
+            else {
+              val setMap = conf.sets.map { sv =>
+                val i = sv.indexOf('=')
+                sv.take(i).trim -> org.apache.spark.sql.functions.expr(sv.drop(i + 1))
+              }.toMap
+              table.update(spark, pred, setMap)
+            }
+          } catch {
+            case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+              throw new IllegalArgumentException(s"malformed --set expression: ${e.getMessage}")
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"--where/--set does not resolve against the table: ${e.getMessage}")
+          }
+        val metric = if (conf.job == "delete") "rows_deleted" else "rows_updated"
+        println(s"""{"job":"${conf.job}","$metric":$n,"new_version":${table.version}}""")
       }
       spark.stop()
       return

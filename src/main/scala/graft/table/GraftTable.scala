@@ -887,9 +887,59 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     *
     * Returns the number of rows deleted. */
   def delete(spark: SparkSession, predicate: org.apache.spark.sql.Column): Long =
-    synchronized { withProcessLock("delete") {
+    cowByPredicate(spark, predicate, "delete", "rows_deleted") { (candDf, candRows) =>
+      // keep rows where the predicate is FALSE or NULL (SQL DELETE
+      // removes only TRUE matches); affected = rows that vanished
+      val keep = candDf.filter(!coalesce(predicate, lit(false)))
+      (keep, written => candRows - written)
+    }
+
+  /** Row-level UPDATE by predicate — the REDACTION path (PII scrubbing,
+    * transcript rewriting) that complements [[delete]]: same file-granular
+    * copy-on-write (only files whose stats admit a match are read and
+    * rewritten), but matching rows are TRANSFORMED instead of dropped.
+    * `set` maps existing column names to replacement expressions; values
+    * are cast to the column's declared type so rewritten files never
+    * drift from the table schema, and updating a directory-PARTITION
+    * column moves rows to their new `col=value` dirs on rewrite (the
+    * partitionBy write re-derives the layout). NULL-predicate rows are
+    * untouched (SQL UPDATE semantics). Returns the number of rows whose
+    * predicate evaluated TRUE. */
+  def update(spark: SparkSession, predicate: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(set.nonEmpty, "update needs at least one SET column")
+    cowByPredicate(spark, predicate, "update", "rows_updated") { (candDf, _) =>
+      val unknown = set.keySet -- candDf.columns.toSet
+      require(unknown.isEmpty,
+        s"SET columns not in the table schema: ${unknown.mkString(", ")} " +
+          "(update never adds columns — commit a batch with the new schema instead)")
+      val hit = coalesce(predicate, lit(false))
+      // count the TRUE matches in one pass, rewrite in a second — the
+      // candidate relation is persisted by cowByPredicate across both
+      val matched = candDf.filter(hit).count()
+      val out = set.foldLeft(candDf) { case (d, (c, expr)) =>
+        val dt = d.schema.fields.find(_.name == c).get.dataType
+        d.withColumn(c, when(hit, expr.cast(dt)).otherwise(col(c)))
+      }
+      (out, _ => matched)
+    }
+  }
+
+  /** Shared copy-on-write machinery for predicate-scoped rewrites
+    * ([[delete]], [[update]]): stats-prune to candidate files, read them
+    * with partition values re-injected, hand the unioned candidates to
+    * `transform` (which returns the replacement rows and an
+    * affected-count function of the written row total), and publish one
+    * rewrite manifest referencing untouched files by path. Returns the
+    * affected-row count; provably-no-match predicates and fully-pruned
+    * tables return 0 without committing a version. */
+  private def cowByPredicate(spark: SparkSession,
+                             predicate: org.apache.spark.sql.Column,
+                             tag: String, metricName: String)
+      (transform: (DataFrame, Long) => (DataFrame, Long => Long)): Long =
+    synchronized { withProcessLock(tag) {
       val v = version
-      require(v > 0, "nothing to delete from")
+      require(v > 0, s"nothing to $tag")
       val batchIds = committedBatchIds
       val allFiles = snapshotManifests(v).flatMap(m => manifest(m).files)
 
@@ -903,62 +953,70 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       // matches nothing: return without rewriting a byte or burning a
       // version — without this, isin() with no args rewrote every file as
       // a no-op copy
-      val neverMatches = DeletePruning.neverMatches(cond)
-      if (neverMatches) return 0L
+      if (DeletePruning.neverMatches(cond)) return 0L
       val pruneFilters = DeletePruning.filtersFor(cond)
       val (cands, untouched) = allFiles.partition(f => FilePrune.keep(f, pruneFilters))
       // stats prove no file can contain a match: nothing to do, commit
       // no version
       if (cands.isEmpty) return 0L
 
-      var deleted = 0L
-      var newFiles = Array.empty[FileInfo]
-      if (cands.nonEmpty) {
-        val dataDir = p("data", s"delete=v$v")
-        val tableSchema = schemaOf
-        // group candidates by directory-encoded partition values: those
-        // live in the path, not the files, and the predicate may
-        // reference them — re-inject constants before evaluating it
-        val groups = cands.groupBy(_.pv).toSeq
-        val dfs = groups.map { case (pv, fs) =>
-          val base = tableSchema match {
-            case Some(sc) =>
-              val fileSchema = org.apache.spark.sql.types.StructType(
-                sc.fields.filterNot(f => pv.contains(f.name)))
-              spark.read.schema(fileSchema).parquet(fs.map(_.path): _*)
-            case None => spark.read.parquet(fs.map(_.path): _*)
-          }
-          pv.toSeq.sortBy(_._1).foldLeft(base) { case (d, (c, ov)) =>
-            val dt = tableSchema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
-              .getOrElse(org.apache.spark.sql.types.StringType)
-            d.withColumn(c, lit(ov.orNull).cast(dt))
-          }
+      val dataDir = p("data", s"$tag=v$v")
+      val tableSchema = schemaOf
+      // group candidates by directory-encoded partition values: those
+      // live in the path, not the files, and the predicate may
+      // reference them — re-inject constants before evaluating it
+      val groups = cands.groupBy(_.pv).toSeq
+      val dfs = groups.map { case (pv, fs) =>
+        val base = tableSchema match {
+          case Some(sc) =>
+            val fileSchema = org.apache.spark.sql.types.StructType(
+              sc.fields.filterNot(f => pv.contains(f.name)))
+            spark.read.schema(fileSchema).parquet(fs.map(_.path): _*)
+          case None => spark.read.parquet(fs.map(_.path): _*)
         }
-        // keep rows where the predicate is FALSE or NULL (SQL DELETE
-        // removes only TRUE matches)
-        val keepRows = dfs.reduce(_ unionByName _)
-          .filter(!coalesce(predicate, lit(false)))
-        val pc = partCols.filter(keepRows.columns.contains)
-        val w = keepRows.write.mode("overwrite")
-        (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(dataDir.toString)
-        val written = writtenFiles(dataDir, spark.sessionState.newHadoopConf(),
-          tableSchema.orElse(Some(keepRows.schema)))
-        // empty outputs carry no rows — drop them from the manifest and
-        // the disk rather than shipping 0-row scan units forever
-        val (live, empty) = written.partition(_.rows > 0)
-        empty.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
-        newFiles = live
-        deleted = cands.map(_.rows).sum - newFiles.map(_.rows).sum
+        pv.toSeq.sortBy(_._1).foldLeft(base) { case (d, (c, ov)) =>
+          val dt = tableSchema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+            .getOrElse(org.apache.spark.sql.types.StringType)
+          d.withColumn(c, lit(ov.orNull).cast(dt))
+        }
       }
-      val all = (untouched ++ newFiles).toArray.sortBy((x: FileInfo) => x.path)
-      val manifestName = s"manifest-delete-v$v.json"
+      val candRows = cands.map(_.rows).sum
+      var affectedOf: Long => Long = identity
+      // persisted across the transform's action(s) AND the rewrite pass
+      // (update counts matches first, then writes — the same two-pass
+      // cache pattern as the z-order writer); released after the write
+      val candDf = dfs.reduce(_ unionByName _).persist()
+      val written = try {
+        val (outRows, affectedOf0) = transform(candDf, candRows)
+        affectedOf = affectedOf0
+        val pc = partCols.filter(outRows.columns.contains)
+        val w = outRows.write.mode("overwrite")
+        (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(dataDir.toString)
+        writtenFiles(dataDir, spark.sessionState.newHadoopConf(),
+          tableSchema.orElse(Some(outRows.schema)))
+      } finally { candDf.unpersist(); () }
+      // empty outputs carry no rows — drop them from the manifest and
+      // the disk rather than shipping 0-row scan units forever
+      val (live, empty) = written.partition(_.rows > 0)
+      empty.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+      val affected = affectedOf(live.map(_.rows).sum)
+      // the rewrite changed nothing (predicate matched no candidate row):
+      // discard the identical copies and keep the current version — a
+      // no-op must not bump the snapshot chain or orphan dead originals
+      if (affected == 0L) {
+        live.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+        return 0L
+      }
+
+      val all = (untouched ++ live).toArray.sortBy((x: FileInfo) => x.path)
+      val manifestName = s"manifest-$tag-v$v.json"
       publishVersioned(p("manifests", manifestName),
-        s"""{"replacesUpTo":$v,"batchIds":${batchIds.toSeq.sorted.mkString("[", ",", "]")},"rows":${all.map(_.rows).sum},"files":${filesJsonOf(all)},"metrics":{"rows_deleted":$deleted}}""")
+        s"""{"replacesUpTo":$v,"batchIds":${batchIds.toSeq.sorted.mkString("[", ",", "]")},"rows":${all.map(_.rows).sum},"files":${filesJsonOf(all)},"metrics":{"$metricName":$affected}}""")
       publishVersioned(p("snapshots", s"v${v + 1}.json"),
         s"""{"version":${v + 1},"added":[${jsonStr(manifestName)}],"manifests":[${jsonStr(manifestName)}]}""")
       advancePointer(v)
       if (idsCacheVersion == v) idsCacheVersion = v + 1 // same ids, new version
-      deleted
+      affected
     } }
 }
 

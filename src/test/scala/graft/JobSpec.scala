@@ -54,6 +54,14 @@ class JobSpec extends AnyFunSuite {
       "--where", " ")).isLeft)
     assert(Main.parseArgs(Array("--job", "delete", "--output", "o",
       "--where", "tenant = 't1'")).exists(_.where.contains("tenant = 't1'")))
+    // update needs --where AND at least one well-formed --set
+    assert(Main.parseArgs(Array("--job", "update", "--output", "o",
+      "--where", "id = 1")).isLeft)
+    assert(Main.parseArgs(Array("--job", "update", "--output", "o",
+      "--where", "id = 1", "--set", "noequals")).isLeft)
+    assert(Main.parseArgs(Array("--job", "update", "--output", "o",
+      "--where", "id = 1", "--set", "text='[redacted]'", "--set", "flag=0"))
+      .exists(_.sets == Seq("text='[redacted]'", "flag=0")))
     // egress forward needs input + checkpoint + host:port, but no output
     assert(Main.parseArgs(Array("--job", "forward", "--input", "i",
       "--checkpoint", "c")).isLeft)

@@ -622,6 +622,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("row-level update: redaction rewrites only stats-admitted files") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_upd").toString)
+    t.commit(Seq((1, "secret a"), (2, "ok")).toDF("id", "text").coalesce(1), 0L)
+    t.commit(Seq((10, "secret b")).toDF("id", "text").coalesce(1), 1L)
+    t.commit(Seq((20, "fine")).toDF("id", "text").coalesce(1), 2L)
+    // the id conjunct prunes by stats; the startsWith conjunct is
+    // untranslatable (conservative row-level only) — exactly one row hits
+    val n = t.update(s, col("id") <= 2 && col("text").startsWith("secret"),
+      Map("text" -> lit("[redacted]")))
+    assert(n == 1L)
+    val rows = t.read(s).as[(Int, String)].collect().toMap
+    assert(rows == Map(1 -> "[redacted]", 2 -> "ok", 10 -> "secret b", 20 -> "fine"))
+    // CoW: only batch=0 (stats-admitted) was rewritten
+    val files = t.dataFiles
+    assert(files.exists(_.contains("batch=1")) && files.exists(_.contains("batch=2")), files)
+    assert(!files.exists(_.contains("batch=0")), files)
+    assert(files.exists(_.contains("update=v3")), files)
+    // time travel below the update still shows the pre-redaction value
+    assert(t.readVersion(s, 3).filter($"id" === 1).select("text").head().getString(0) == "secret a")
+    // unknown SET columns fail loudly, never add columns
+    intercept[IllegalArgumentException](
+      t.update(s, lit(true), Map("nope" -> lit(1))))
+    // value expressions are cast to the column's declared type (no
+    // schema drift in rewritten files): set an INT value on a string col
+    assert(t.update(s, col("id") === 20, Map("text" -> lit(0))) == 1L)
+    assert(t.read(s).filter($"id" === 20).select("text").head().getString(0) == "0")
+    // a predicate that stats CANNOT prune but that matches no row is a
+    // full no-op: the identical rewrite copies are discarded, no version
+    val vNoop = t.version
+    assert(t.update(s, col("text") === "match nothing",
+      Map("text" -> lit("x"))) == 0L)
+    assert(t.version == vNoop)
+  }
+
+  test("update on a partition column moves rows to their new value dirs") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_upd_part").toString)
+    val sink = new ExactlyOnceSink(t, partitionBy = Seq("tenant"))
+    sink.write(Seq((1L, "t0"), (2L, "t1")).toDF("id", "tenant").coalesce(1), 0L)
+    sink.write(Seq((3L, "t1")).toDF("id", "tenant").coalesce(1), 1L)
+    // tenant migration: t1 rows with id <= 2 move to t2 — the rewrite's
+    // partitionBy re-derives the value-pure dirs from the NEW values
+    assert(t.update(s, col("tenant") === "t1" && col("id") <= 2L,
+      Map("tenant" -> lit("t2"))) == 1L)
+    assert(t.read(s).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "t0"), (2L, "t2"), (3L, "t1")))
+    val files = t.dataFiles
+    assert(files.exists(f => f.contains("update=v2") && f.contains("tenant=t2")), files)
+    // batch=1's t1 file pruned by the id conjunct — untouched
+    assert(files.exists(f => f.contains("batch=1") && f.contains("tenant=t1")), files)
+    // partition pruning works against the NEW value
+    assert(t.read(s).filter($"tenant" === "t2").select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("delete on a FLOAT column: stats round-trip in the row's double domain") {
     val s = spark
     import s.implicits._
