@@ -82,6 +82,19 @@ object Main {
   /** Table-maintenance jobs: operate on --output only (no stream). */
   val MaintenanceJobs: Set[String] = Set("compact", "vacuum", "describe", "delete", "update")
 
+  /** One parser for `--set "col=<sql expr>"`, shared by validation and
+    * execution so they cannot drift: returns (trimmed column, expr text)
+    * or None for malformed input (no '=', blank column, blank expr). */
+  private[graft] def parseSet(sv: String): Option[(String, String)] = {
+    val i = sv.indexOf('=')
+    if (i <= 0) None
+    else {
+      val c = sv.take(i).trim
+      val e = sv.drop(i + 1).trim
+      if (c.isEmpty || e.isEmpty) None else Some((c, e))
+    }
+  }
+
   def parseArgs(args: Array[String]): Either[String, Config] = {
     def loop(rest: List[String], c: Config): Either[String, Config] = rest match {
       case Nil => Right(c)
@@ -134,10 +147,13 @@ object Main {
           Left(s"--where <predicate> is required for --job ${c.job}")
         else if (c.job == "update" && c.sets.isEmpty)
           Left("at least one --set \"col=<sql expr>\" is required for --job update")
-        else if (c.job == "update" && c.sets.exists(sv => {
-          val i = sv.indexOf('='); i <= 0 || sv.drop(i + 1).trim.isEmpty
-        }))
+        else if (c.job == "update" && c.sets.exists(parseSet(_).isEmpty))
           Left("every --set must look like col=<sql expr>")
+        else if (c.job == "update" && {
+          val cols = c.sets.flatMap(parseSet).map(_._1)
+          cols.distinct.size != cols.size
+        })
+          Left("duplicate --set for the same column (SQL UPDATE assigns each column once)")
         else if (c.targetFiles <= 0) Left("--target-files must be positive")
         else Right(c)
       }
@@ -273,9 +289,8 @@ object Main {
           try {
             if (conf.job == "delete") table.delete(spark, pred)
             else {
-              val setMap = conf.sets.map { sv =>
-                val i = sv.indexOf('=')
-                sv.take(i).trim -> org.apache.spark.sql.functions.expr(sv.drop(i + 1))
+              val setMap = conf.sets.flatMap(Main.parseSet).map { case (c, e) =>
+                c -> org.apache.spark.sql.functions.expr(e)
               }.toMap
               table.update(spark, pred, setMap)
             }
@@ -285,6 +300,12 @@ object Main {
             case e: org.apache.spark.sql.AnalysisException =>
               throw new IllegalArgumentException(
                 s"--where/--set does not resolve against the table: ${e.getMessage}")
+            // ANSI runtime failures in the rewrite (e.g. a --set value
+            // that cannot cast to the column's type) must land as the
+            // "[graft] ..." + exit 2 contract, not a raw executor trace
+            case e: org.apache.spark.SparkException =>
+              throw new IllegalStateException(
+                s"${conf.job} failed: ${Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)}")
           }
         val metric = if (conf.job == "delete") "rows_deleted" else "rows_updated"
         println(s"""{"job":"${conf.job}","$metric":$n,"new_version":${table.version}}""")

@@ -135,6 +135,17 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     try body finally { lock.release(); ch.close() }
   }
 
+  /** Best-effort recursive removal of a directory this table just wrote
+    * (no-op rewrites): nothing references it, so partial failure is
+    * harmless garbage, never corruption. */
+  private def deleteTree(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
   private def writeAtomic(target: Path, content: String): Unit = {
     Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
@@ -889,9 +900,10 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
   def delete(spark: SparkSession, predicate: org.apache.spark.sql.Column): Long =
     cowByPredicate(spark, predicate, "delete", "rows_deleted") { (candDf, candRows) =>
       // keep rows where the predicate is FALSE or NULL (SQL DELETE
-      // removes only TRUE matches); affected = rows that vanished
+      // removes only TRUE matches); affected = rows that vanished —
+      // knowable only after the write, so no pre-write short-circuit
       val keep = candDf.filter(!coalesce(predicate, lit(false)))
-      (keep, written => candRows - written)
+      Right((keep, written => candRows - written))
     }
 
   /** Row-level UPDATE by predicate — the REDACTION path (PII scrubbing,
@@ -908,20 +920,34 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
   def update(spark: SparkSession, predicate: org.apache.spark.sql.Column,
              set: Map[String, org.apache.spark.sql.Column]): Long = {
     require(set.nonEmpty, "update needs at least one SET column")
-    cowByPredicate(spark, predicate, "update", "rows_updated") { (candDf, _) =>
+    cowByPredicate(spark, predicate, "update", "rows_updated",
+        persistCandidates = true) { (candDf, _) =>
       val unknown = set.keySet -- candDf.columns.toSet
       require(unknown.isEmpty,
         s"SET columns not in the table schema: ${unknown.mkString(", ")} " +
           "(update never adds columns — commit a batch with the new schema instead)")
       val hit = coalesce(predicate, lit(false))
-      // count the TRUE matches in one pass, rewrite in a second — the
-      // candidate relation is persisted by cowByPredicate across both
+      // count the TRUE matches in one pass (the candidate relation is
+      // persisted by cowByPredicate across this and the write); zero
+      // matches short-circuits BEFORE paying the rewrite
       val matched = candDf.filter(hit).count()
-      val out = set.foldLeft(candDf) { case (d, (c, expr)) =>
-        val dt = d.schema.fields.find(_.name == c).get.dataType
-        d.withColumn(c, when(hit, expr.cast(dt)).otherwise(col(c)))
+      if (matched == 0L) Left(0L)
+      else {
+        // ONE projection over the original relation: every SET right-hand
+        // side and the predicate see the ORIGINAL row values (SQL UPDATE
+        // semantics — a sequential withColumn fold would re-resolve them
+        // against already-updated columns, so swap-style updates and
+        // predicates on SET columns would silently misbehave). Values are
+        // cast to the column's declared type; under ANSI an uncastable
+        // value errors the job, same as SQL UPDATE.
+        val outCols = candDf.schema.fields.map { f =>
+          set.get(f.name) match {
+            case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }
+        Right((candDf.select(outCols.toIndexedSeq: _*), _ => matched))
       }
-      (out, _ => matched)
     }
   }
 
@@ -935,8 +961,9 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     * tables return 0 without committing a version. */
   private def cowByPredicate(spark: SparkSession,
                              predicate: org.apache.spark.sql.Column,
-                             tag: String, metricName: String)
-      (transform: (DataFrame, Long) => (DataFrame, Long => Long)): Long =
+                             tag: String, metricName: String,
+                             persistCandidates: Boolean = false)
+      (transform: (DataFrame, Long) => Either[Long, (DataFrame, Long => Long)]): Long =
     synchronized { withProcessLock(tag) {
       val v = version
       require(v > 0, s"nothing to $tag")
@@ -982,19 +1009,27 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       }
       val candRows = cands.map(_.rows).sum
       var affectedOf: Long => Long = identity
-      // persisted across the transform's action(s) AND the rewrite pass
-      // (update counts matches first, then writes — the same two-pass
-      // cache pattern as the z-order writer); released after the write
-      val candDf = dfs.reduce(_ unionByName _).persist()
+      // persisted only when the transform needs TWO passes (update counts
+      // matches, then writes — the z-order two-pass cache pattern);
+      // delete's single write pass must not pay full candidate-set
+      // caching on the 100 TB takedown path. Released after the write.
+      val unioned = dfs.reduce(_ unionByName _)
+      val candDf = if (persistCandidates) unioned.persist() else unioned
       val written = try {
-        val (outRows, affectedOf0) = transform(candDf, candRows)
-        affectedOf = affectedOf0
-        val pc = partCols.filter(outRows.columns.contains)
-        val w = outRows.write.mode("overwrite")
-        (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(dataDir.toString)
-        writtenFiles(dataDir, spark.sessionState.newHadoopConf(),
-          tableSchema.orElse(Some(outRows.schema)))
-      } finally { candDf.unpersist(); () }
+        transform(candDf, candRows) match {
+          case Left(affected) =>
+            // the transform proved the result before writing a byte
+            // (update with zero matches): full no-op
+            return affected
+          case Right((outRows, affectedOf0)) =>
+            affectedOf = affectedOf0
+            val pc = partCols.filter(outRows.columns.contains)
+            val w = outRows.write.mode("overwrite")
+            (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(dataDir.toString)
+            writtenFiles(dataDir, spark.sessionState.newHadoopConf(),
+              tableSchema.orElse(Some(outRows.schema)))
+        }
+      } finally { if (persistCandidates) { candDf.unpersist(); () } }
       // empty outputs carry no rows — drop them from the manifest and
       // the disk rather than shipping 0-row scan units forever
       val (live, empty) = written.partition(_.rows > 0)
@@ -1004,7 +1039,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       // discard the identical copies and keep the current version — a
       // no-op must not bump the snapshot chain or orphan dead originals
       if (affected == 0L) {
-        live.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+        deleteTree(dataDir) // whole tree: stray _SUCCESS/empty value dirs too
         return 0L
       }
 

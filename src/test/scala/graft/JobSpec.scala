@@ -62,6 +62,11 @@ class JobSpec extends AnyFunSuite {
     assert(Main.parseArgs(Array("--job", "update", "--output", "o",
       "--where", "id = 1", "--set", "text='[redacted]'", "--set", "flag=0"))
       .exists(_.sets == Seq("text='[redacted]'", "flag=0")))
+    // duplicate assignments to one column and blank column names rejected
+    assert(Main.parseArgs(Array("--job", "update", "--output", "o",
+      "--where", "id = 1", "--set", "text='a'", "--set", "text='b'")).isLeft)
+    assert(Main.parseArgs(Array("--job", "update", "--output", "o",
+      "--where", "id = 1", "--set", " ='x'")).isLeft)
     // egress forward needs input + checkpoint + host:port, but no output
     assert(Main.parseArgs(Array("--job", "forward", "--input", "i",
       "--checkpoint", "c")).isLeft)

@@ -651,11 +651,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.update(s, col("id") === 20, Map("text" -> lit(0))) == 1L)
     assert(t.read(s).filter($"id" === 20).select("text").head().getString(0) == "0")
     // a predicate that stats CANNOT prune but that matches no row is a
-    // full no-op: the identical rewrite copies are discarded, no version
+    // full no-op: nothing is even written, no version
     val vNoop = t.version
     assert(t.update(s, col("text") === "match nothing",
       Map("text" -> lit("x"))) == 0L)
     assert(t.version == vNoop)
+    // no orphaned rewrite directory from the no-op either
+    assert(!Files.exists(java.nio.file.Paths.get(t.root, "data", s"update=v$vNoop")))
+  }
+
+  test("update SQL semantics: every SET right-hand side sees the ORIGINAL row") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_upd_sem").toString)
+    t.commit(Seq((1L, 10L, "hot"), (2L, 20L, "cold")).toDF("a", "b", "text").coalesce(1), 0L)
+    // swap-style update: a=b, b=a must actually SWAP (a sequential
+    // withColumn fold would resolve b's RHS against the already-updated
+    // a and leave b unchanged)
+    assert(t.update(s, col("text") === "hot",
+      Map("a" -> col("b"), "b" -> col("a"))) == 1L)
+    assert(t.read(s).filter($"text" === "hot").select("a", "b").as[(Long, Long)].head()
+      == ((10L, 1L)))
+    // predicate on a column being SET: both assignments still apply
+    // (the predicate must see the original value, not the redacted one)
+    assert(t.update(s, col("text") === "cold",
+      Map("text" -> lit("[gone]"), "a" -> lit(999L))) == 1L)
+    assert(t.read(s).filter($"a" === 999L).select("text").head().getString(0) == "[gone]")
   }
 
   test("update on a partition column moves rows to their new value dirs") {
