@@ -166,8 +166,11 @@ object Main {
         val egressOk = c.egress.exists { hp =>
           graft.sources.Egress.isHttpUrl(hp) || {
             val i = hp.lastIndexOf(':')
+            // only a "://" scheme separator marks a URL-not-host:port — a
+            // plain hostname may legitimately start with "http" (e.g.
+            // httpd-collector:4317)
             i > 0 && hp.substring(i + 1).toIntOption.exists(p => p >= 1 && p <= 65535) &&
-              !hp.toLowerCase(java.util.Locale.ROOT).startsWith("http")
+              !hp.contains("://")
           }
         }
         if (c.input.isEmpty || c.checkpoint.isEmpty)

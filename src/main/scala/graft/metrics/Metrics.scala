@@ -15,6 +15,9 @@ import scala.jdk.CollectionConverters._
   * per-file rows, counters from here). */
 object Metrics {
 
+  /** Recent-batch entries retained in a Listener's byBatch view. */
+  val RecentBatchWindow = 256
+
   val ObservationName = "graft_counters"
   val ErrorsObservationName = "graft_errors"
 
@@ -68,9 +71,13 @@ object Metrics {
     // registered session-wide; an unrelated short-lived query must not
     // tear down this listener's JMX surface or pollute its counters)
     private val trackedIds = TrieMap.empty[java.util.UUID, Unit]
-    // (stable query id, batchId): dedupes batch replays across RESTARTS of
-    // the same query without conflating two queries' identical batchIds
-    private val seenBatch = TrieMap.empty[(java.util.UUID, Long), Unit]
+    // highest batchId already counted per stable query id: progress events
+    // arrive in batch order within a query, so a replay (query restart
+    // re-emitting its last batch) has batchId ≤ max and is skipped. One
+    // Long per query instead of one entry per micro-batch — a year-long
+    // 1-batch/s stream would otherwise grow the old (id, batchId) set to
+    // ~31M driver-side entries.
+    private val maxCounted = TrieMap.empty[java.util.UUID, Long]
 
     /** Cumulative counters across all completed batches so far — readable
       * at any time while the stream runs. */
@@ -97,12 +104,15 @@ object Metrics {
     }
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-    // unregister only when a query THIS listener tracked terminates (or,
-    // before any progress was tracked, on the first termination — the
+    // unregister only when a query THIS listener tracked terminates. The
+    // pre-progress fallback (any termination before the first tracked
+    // progress) applies only when no queryName scopes the listener — the
     // single-query-per-process case, e.g. a forward job with no observed
-    // metrics); an unrelated query's death must not kill the scrape
+    // metrics. With queryName set, an unrelated query dying before the
+    // named query's first progress must not kill the scrape (and progress
+    // re-registers the MBean if it ever does).
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-      if (trackedIds.contains(e.id) || trackedIds.isEmpty)
+      if (trackedIds.contains(e.id) || (queryName.isEmpty && trackedIds.isEmpty))
         mbeanName.foreach { on =>
           val mbs = java.lang.management.ManagementFactory.getPlatformMBeanServer
           if (mbs.isRegistered(on)) mbs.unregisterMBean(on)
@@ -126,11 +136,24 @@ object Metrics {
           .map(_.numRowsDroppedByWatermark).sum
         val m = observed + ("rows_dropped_by_watermark" -> dropped)
         trackedIds.put(e.progress.id, ())
+        // self-heal the scrape surface: if an unscoped unregister (or an
+        // external agent) removed the MBean, the next tracked progress
+        // restores it
+        mbeanName.foreach { on =>
+          val mbs = java.lang.management.ManagementFactory.getPlatformMBeanServer
+          if (!mbs.isRegistered(on)) { mbs.registerMBean(new LiveCounters(this), on); () }
+        }
         byBatch.put(e.progress.batchId, m)
+        // bounded recent-batch window — byBatch is a debugging/test view,
+        // not the cumulative store; keep it from growing with stream age
+        if (byBatch.size > RecentBatchWindow)
+          byBatch.keys.toSeq.sorted.dropRight(RecentBatchWindow).foreach(byBatch.remove)
         // a replayed batchId (query restart re-emitting progress) must not
         // double-count the cumulative totals — first sighting only
-        if (seenBatch.putIfAbsent((e.progress.id, e.progress.batchId), ()).isEmpty)
+        if (e.progress.batchId > maxCounted.getOrElse(e.progress.id, -1L)) {
+          maxCounted.put(e.progress.id, e.progress.batchId)
           m.foreach { case (k, v) => totalsMap(k) = totalsMap.getOrElse(k, 0L) + v }
+        }
         persistRoot.foreach { root =>
           val dir = java.nio.file.Paths.get(root, "metrics")
           java.nio.file.Files.createDirectories(dir)

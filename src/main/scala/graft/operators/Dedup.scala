@@ -403,16 +403,30 @@ GROUP BY doc_id"""
   }
 
   def simhashPairs(d: DataFrame, maxHam: Int = 2): DataFrame = {
+    val nBands = maxHam + 1
+    val width = 64 / nBands
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+    // A pair at hamming h ≤ maxHam agrees on nBands - h ≥ 1 bands, so the
+    // equi-join emits it once per agreeing band. Rather than de-duplicating
+    // with a wide `.distinct()` exchange, keep the pair only in the FIRST
+    // agreeing band of sh_a ^ sh_b: every band below b must have a set bit
+    // in the xor. Pure bit math on columns already in scope — duplicates
+    // never exist, so no post-join shuffle.
+    val firstAgreeingBand =
+      if (nBands == 1) "true"
+      else (0 until nBands - 1)
+        .map(i => s"(b <= $i OR (shiftright(x, ${i * width}) & ${mask(width)}L) != 0)")
+        .mkString(" AND ")
     val bands = simhashBands(simhash(d), maxHam)
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-    cand
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("bigint"))
+        col("a.b").as("b"),
+        expr("a.simhash ^ b.simhash").as("x"))
+      .filter(expr(firstAgreeingBand))
+      .withColumn("hamming", expr("bit_count(x)").cast("bigint"))
       .filter(col("hamming") <= maxHam)
       .select("doc_a", "doc_b", "hamming")
   }

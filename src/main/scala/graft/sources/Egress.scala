@@ -27,7 +27,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *  3. micro-batch replay: `forward` runs under a checkpoint; a crashed
   *     query resends the un-completed batch on restart.
   *
-  * Receivers must reply to a `#ack` line with one byte. Lines starting
+  * Receivers must reply to a `#ack` line with exactly the single byte
+  * `'1'` — any other byte, or bytes beyond the ack, is a protocol error
+  * that tears down the connection (a chatty reply must never pre-ack a
+  * chunk the receiver has not processed). Lines starting
   * with `#` never collide with data: every data line is a JSON object
   * (first byte `{`). Duplicates across retries are possible by design —
   * downstream dedupes (the reference exporter is likewise at-least-once).
@@ -193,8 +196,19 @@ final class ChunkSender(host: String, port: Int, maxRetries: Int,
       }
       out.write(ChunkSender.AckMarker.getBytes(StandardCharsets.UTF_8))
       out.flush()
-      // the ack byte is the delivery proof; EOF (-1) = receiver died
-      if (in.read() < 0) throw new IOException("receiver closed before ack")
+      // the ack byte is the delivery proof; EOF (-1) = receiver died. The
+      // reply must be EXACTLY the one ack byte: a chatty receiver (e.g.
+      // "ok\n" per chunk) would otherwise leave buffered bytes that
+      // falsely ack later chunks it never processed — any unexpected byte
+      // is a protocol error that tears down the connection (onFailure
+      // close()) so the resend starts from a clean stream.
+      val r = in.read()
+      if (r < 0) throw new IOException("receiver closed before ack")
+      if (r != ChunkSender.AckByte)
+        throw new IOException(
+          s"protocol error: expected ack byte '${ChunkSender.AckByte.toChar}', got $r")
+      if (in.available() > 0)
+        throw new IOException("protocol error: receiver sent bytes beyond the single ack")
     }
 
   def close(): Unit = {
@@ -207,6 +221,10 @@ final class ChunkSender(host: String, port: Int, maxRetries: Int,
 
 object ChunkSender {
   /** In-band chunk delimiter; data lines are JSON objects (`{`-first), so
-    * a `#`-first line is unambiguous. Receivers reply with one byte. */
+    * a `#`-first line is unambiguous. Receivers reply with exactly the
+    * single byte [[AckByte]] — anything else is a protocol error. */
   val AckMarker: String = "#ack\n"
+
+  /** The one byte a receiver must reply with per acked chunk. */
+  val AckByte: Int = '1'.toInt
 }

@@ -156,9 +156,22 @@ class PlanSpec extends AnyFunSuite {
 
   test("simhash pairs: band-bucket equi-join, never a nested-loop all-pairs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val plan = planOf(graft.operators.Dedup.simhashPairs(docs))
+    val pairs = graft.operators.Dedup.simhashPairs(docs)
+    val plan = planOf(pairs)
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"simhash pair join degraded to an all-pairs plan:\n$plan")
+    // the first-agreeing-band filter replaces the post-join `.distinct()`:
+    // the simhash input legitimately aggregates (the 64-sum groupBy on
+    // doc_id), but nothing downstream of the join may aggregate on the
+    // PAIR key — that would be the dedup exchange creeping back
+    assert(!"HashAggregate\\(keys=\\[doc_a".r.findFirstIn(plan).isDefined &&
+           !plan.contains("Exchange hashpartitioning(doc_a"),
+      s"post-join dedup exchange reappeared in the pairs plan:\n$plan")
+    // and pairs must still be unique without it — a hamming-0 pair agrees
+    // on all bands and would be emitted once per band
+    val dup = pairs.groupBy("doc_a", "doc_b").count()
+      .filter(col("count") > 1).count()
+    assert(dup === 0L, s"$dup pairs emitted more than once")
   }
 
   test("simhash is 64-bit: band-key cardinality exceeds the 16-bit ceiling") {
