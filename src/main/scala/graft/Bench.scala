@@ -71,12 +71,21 @@ object Bench {
     spark.read.parquet(outDir).count()
   }
 
-  /** One end-to-end streaming replay; returns clips/sec.
+  /** One trial's outcome: sustained clips/sec plus the per-trigger phase
+    * breakdown that separates engine overhead from host contention —
+    * medians over the steady batches of the engine's own durationMs
+    * (total trigger, addBatch = distributed compute + sink, and the
+    * serial driver phases around it) and, in sink mode, the cumulative
+    * commit-phase split (distributed `write` vs driver-serial `footers`
+    * and `meta`) averaged per batch. */
+  private final case class RunResult(rate: Double, breakdown: Map[String, Double])
+
+  /** One end-to-end streaming replay; returns clips/sec + breakdown.
     * mode: "sink" = exactly-once GraftTable commit (the north metric);
     *       "noop" = compute-only (isolates transform cost from sink I/O). */
   private def runPipeline(cpus: Int, inputDir: String, nClips: Long,
                           mode: String = "sink",
-                          maxFilesPerTrigger: Int = 32): Double = {
+                          maxFilesPerTrigger: Int = 32): RunResult = {
     val spark = session(cpus)
     try {
       val schema = spark.read.parquet(inputDir).schema
@@ -129,12 +138,34 @@ object Bench {
           s"[bench] cpus=$cpus batch=${p.batchId} rows=${p.numInputRows} " +
             s"durations=${p.durationMs}"))
       val steady = if (prog.length > 1) prog.drop(1) else prog
+      def medL(xs: Seq[Double]): Double =
+        if (xs.isEmpty) 0.0 else { val s = xs.sorted; s(s.length / 2) }
+      def dur(p: org.apache.spark.sql.streaming.StreamingQueryProgress, k: String): Double =
+        Option(p.durationMs.get(k)).map(_.longValue().toDouble).getOrElse(0.0)
+      // engine-side per-trigger phase medians over the steady batches:
+      // addBatch = the distributed compute + sink (the part that should
+      // scale with width); everything else inside triggerExecution is
+      // serial driver work that by construction cannot scale — if ITS
+      // share is flat from 8 to 32, the engine is not the scaling limiter
+      val bd = scala.collection.mutable.Map[String, Double](
+        "batches" -> steady.length.toDouble,
+        "rows_per_batch" -> medL(steady.map(_.numInputRows.toDouble)),
+        "trigger_ms" -> medL(steady.map(dur(_, "triggerExecution"))),
+        "add_batch_ms" -> medL(steady.map(dur(_, "addBatch"))),
+        "driver_serial_ms" -> medL(steady.map(p =>
+          dur(p, "triggerExecution") - dur(p, "addBatch"))))
+      if (mode == "sink" && prog.nonEmpty) {
+        val nBatches = math.max(1L, prog.length.toLong)
+        sink.table.commitPhaseNanos.foreach { case (k, v) =>
+          bd(s"commit_${k}_ms") = v / 1e6 / nBatches
+        }
+      }
       val rates = steady.map(p =>
         p.numInputRows.toDouble / (p.durationMs.get("triggerExecution").longValue() / 1000.0)).sorted
       if (rates.isEmpty) {
         System.err.println(s"[bench] WARNING: no progress with rows > 0 from $inputDir — reporting 0.0")
-        0.0
-      } else rates(rates.length / 2)
+        RunResult(0.0, bd.toMap)
+      } else RunResult(rates(rates.length / 2), bd.toMap)
     } finally spark.stop()
   }
 
@@ -178,7 +209,13 @@ object Bench {
         def loadAvg: Double =
           java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
         val loadBefore = loadAvg
-        runPipeline(32, inputDir, nClips, mode, mfpt) // JIT/page-cache warmup (untimed)
+        // SPARK_GRAFT_BENCH_WIDTHS prunes the width set (e.g. "8,32" for a
+        // focused 8→32 breakdown run — the slow local[2] leg triples wall
+        // time and the 2→8 criterion is already replicated); efficiency
+        // for a skipped pair reports 0 with an explicit flag.
+        val widths = sys.env.getOrElse("SPARK_GRAFT_BENCH_WIDTHS", "2,8,32")
+          .split(",").map(_.trim.toInt).toSet
+        runPipeline(widths.max, inputDir, nClips, mode, mfpt) // JIT/page-cache warmup (untimed)
         val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
         // Two N→4N pairs: 8→32 uses the whole box (sensitive to neighbor
         // load — this host routinely runs 10-14 cores of other tenants),
@@ -191,21 +228,31 @@ object Bench {
         val t8 = scala.collection.mutable.ArrayBuffer[Double]()
         val t2 = scala.collection.mutable.ArrayBuffer[Double]()
         val loads = scala.collection.mutable.ArrayBuffer[Double]()
+        // per-width breakdown of the BEST trial (the least-disturbed
+        // sample — breakdowns from a neighbor-contaminated trial would
+        // indict the host's noise, not the engine)
+        val bestBd = scala.collection.mutable.Map[Int, (Double, Map[String, Double])]()
+        def sample(width: Int, buf: scala.collection.mutable.ArrayBuffer[Double]): Unit = {
+          val r = runPipeline(width, inputDir, nClips, mode, mfpt)
+          buf += r.rate
+          if (!bestBd.get(width).exists(_._1 >= r.rate)) bestBd(width) = (r.rate, r.breakdown)
+        }
         // local[2] runs FIRST, straight after warmup (the slot least
         // contaminated by our own trailing load average), and is then
         // INTERLEAVED with the wider trials like the others: round 2's
         // canonical artifact carried a 3.2 "efficiency" from a single
         // neighbor-contaminated local[2] sample — every config now gets
         // multiple samples and a median.
-        t2 += runPipeline(2, inputDir, nClips, mode, mfpt)
+        if (widths(2)) sample(2, t2)
         for (i <- 1 to trials) {
           loads += loadAvg
-          t32 += runPipeline(32, inputDir, nClips, mode, mfpt)
-          t8 += runPipeline(8, inputDir, nClips, mode, mfpt)
-          if (i <= math.max(1, math.min(trials, 2)))
-            t2 += runPipeline(2, inputDir, nClips, mode, mfpt)
+          if (widths(32)) sample(32, t32)
+          if (widths(8)) sample(8, t8)
+          if (widths(2) && i <= math.max(1, math.min(trials, 2)))
+            sample(2, t2)
         }
-        def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+        def med(xs: Seq[Double]): Double =
+          if (xs.isEmpty) 0.0 else { val s = xs.sorted; s(s.length / 2) }
         // Outlier floor: a sample >3× off the run's own median is neighbor
         // contamination, not the engine — drop it before the median so one
         // bad trial cannot fabricate a >1 (or near-0) efficiency in the
@@ -221,8 +268,9 @@ object Bench {
           if (den > 0.0) (num / den) / 4.0 else 0.0
         val thr32 = med(sane(t32.toSeq)); val thr8 = med(sane(t8.toSeq))
         val thr2 = med(sane(t2.toSeq))
-        val eff832best = ratio(t32.max, t8.max)
-        val eff28best = ratio(t8.max, t2.max)
+        def maxOr0(xs: Seq[Double]): Double = if (xs.isEmpty) 0.0 else xs.max
+        val eff832best = ratio(maxOr0(t32.toSeq), maxOr0(t8.toSeq))
+        val eff28best = ratio(maxOr0(t8.toSeq), maxOr0(t2.toSeq))
         // Physical bound: N→4N efficiency cannot exceed 1 (super-linear =
         // a contaminated narrow denominator the 3× floor was too lax to
         // catch). Fall back to best-vs-best — both sides' least-disturbed
@@ -232,13 +280,18 @@ object Bench {
         val (eff832, f832) = bounded(ratio(thr32, thr8), eff832best)
         val (eff28, f28) = bounded(ratio(thr8, thr2), eff28best)
         val flags = (if (f832) Seq("eff_8_32_fell_back_to_best") else Nil) ++
-          (if (f28) Seq("eff_2_8_fell_back_to_best") else Nil)
+          (if (f28) Seq("eff_2_8_fell_back_to_best") else Nil) ++
+          Seq(2, 8, 32).filterNot(widths).map(w => s"local${w}_skipped")
         val loadAfter = loadAvg
         // free the tmpfs space for the next round
         import scala.sys.process._
         Seq("rm", "-rf", "/dev/shm/graft_bench").!
         def arr(xs: Seq[Double]) = xs.map(v => f"$v%.0f").mkString(",")
-        f"""{"n_clips":$nClips,"clips_per_sec_local2":${thr2}%.1f,"clips_per_sec_local8":${thr8}%.1f,"clips_per_sec_local32":${thr32}%.1f,"scaling_efficiency":${eff832}%.3f,"scaling_efficiency_best":${eff832best}%.3f,"scaling_efficiency_2_to_8":${eff28}%.3f,"scaling_efficiency_2_to_8_best":${eff28best}%.3f,"trials_local2":[${arr(t2.toSeq)}],"trials_local8":[${arr(t8.toSeq)}],"trials_local32":[${arr(t32.toSeq)}],"host_load_avg_per_trial":[${loads.map(v => f"$v%.1f").mkString(",")}],"host_load_avg_before":$loadBefore%.1f,"host_load_avg_after":$loadAfter%.1f,"flags":[${flags.map("\"" + _ + "\"").mkString(",")}]}"""
+        val bdJson = bestBd.toSeq.sortBy(_._1).map { case (w, (_, m)) =>
+          s""""local$w":${m.toSeq.sortBy(_._1)
+            .map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")}"""
+        }.mkString("{", ",", "}")
+        f"""{"n_clips":$nClips,"clips_per_sec_local2":${thr2}%.1f,"clips_per_sec_local8":${thr8}%.1f,"clips_per_sec_local32":${thr32}%.1f,"scaling_efficiency":${eff832}%.3f,"scaling_efficiency_best":${eff832best}%.3f,"scaling_efficiency_2_to_8":${eff28}%.3f,"scaling_efficiency_2_to_8_best":${eff28best}%.3f,"trials_local2":[${arr(t2.toSeq)}],"trials_local8":[${arr(t8.toSeq)}],"trials_local32":[${arr(t32.toSeq)}],"host_load_avg_per_trial":[${loads.map(v => f"$v%.1f").mkString(",")}],"host_load_avg_before":$loadBefore%.1f,"host_load_avg_after":$loadAfter%.1f,"breakdown":$bdJson,"flags":[${flags.map("\"" + _ + "\"").mkString(",")}]}"""
       }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

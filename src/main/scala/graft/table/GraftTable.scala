@@ -599,34 +599,52 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
   private def writtenFiles(dataDir: Path, hconf: org.apache.hadoop.conf.Configuration,
                            schema: Option[org.apache.spark.sql.types.StructType] = None): Array[FileInfo] = {
     val walk = Files.walk(dataDir)
-    try {
-      walk.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map { f =>
-          val pv: Seq[(String, Option[String])] =
-            dataDir.relativize(f.getParent).iterator().asScala
-              .map(_.toString).filter(_.contains("="))
-              .map { seg =>
-                val k = seg.substring(0, seg.indexOf('='))
-                val raw = unescapePathName(seg.substring(seg.indexOf('=') + 1))
-                unescapePathName(k) -> (if (raw == HiveNullPartition) None else Some(raw))
-              }.toSeq
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f.toUri), hconf)
-          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try {
-            val synthetic = pv.flatMap { case (c, ov) =>
-              for {
-                v <- ov
-                dt <- schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
-                st <- synthStats(dt, v)
-              } yield c -> st
-            }.toMap
-            FileInfo(f.toString, rd.getRecordCount, Files.size(f),
-              footerStats(rd.getFooter) ++ synthetic, pv.toMap)
-          } finally rd.close()
-        }.toArray.sortBy((x: FileInfo) => x.path)
-    } finally walk.close()
+    val paths =
+      try walk.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toArray
+      finally walk.close()
+    def infoOf(f: Path): FileInfo = {
+      val pv: Seq[(String, Option[String])] =
+        dataDir.relativize(f.getParent).iterator().asScala
+          .map(_.toString).filter(_.contains("="))
+          .map { seg =>
+            val k = seg.substring(0, seg.indexOf('='))
+            val raw = unescapePathName(seg.substring(seg.indexOf('=') + 1))
+            unescapePathName(k) -> (if (raw == HiveNullPartition) None else Some(raw))
+          }.toSeq
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri), hconf)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val synthetic = pv.flatMap { case (c, ov) =>
+          for {
+            v <- ov
+            dt <- schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+            st <- synthStats(dt, v)
+          } yield c -> st
+        }.toMap
+        FileInfo(f.toString, rd.getRecordCount, Files.size(f),
+          footerStats(rd.getFooter) ++ synthetic, pv.toMap)
+      } finally rd.close()
+    }
+    // Footer reads are independent metadata I/O; read them on a bounded
+    // pool instead of one-by-one. The per-batch file count grows with
+    // executor width (roughly one file per task), so a sequential harvest
+    // is serial driver time that grows WITH width — the exact shape that
+    // erodes N→4N scaling efficiency. Parallel footer fetch is what
+    // production table formats do against object stores for the same
+    // reason. Determinism is preserved by the final path sort.
+    if (paths.length <= 1) paths.map(infoOf).sortBy((x: FileInfo) => x.path)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, paths.length))
+      try {
+        val futures = paths.map(f => pool.submit(
+          new java.util.concurrent.Callable[FileInfo] { def call(): FileInfo = infoOf(f) }))
+        try futures.map(_.get())
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      } finally pool.shutdown()
+    }.sortBy((x: FileInfo) => x.path)
   }
 
   private def filesJsonOf(written: Array[FileInfo]): String =
@@ -705,6 +723,21 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     * `partitionBy` writes a Hive-style directory layout (`col=value/`):
     * the partition columns live in the path, not the files — manifests
     * record them per file and readers re-inject them as constants. */
+  /** Cumulative wall-nanos per commit phase (`write` = distributed parquet
+    * write, `footers` = driver-side footer-stat harvest, `meta` = manifest
+    * + snapshot + pointer publication). Cheap always-on instrumentation:
+    * the bench's N→4N breakdown needs the serial driver share of each
+    * commit separable from the distributed write that actually scales. */
+  val commitPhaseNanos: scala.collection.concurrent.TrieMap[String, Long] =
+    scala.collection.concurrent.TrieMap.empty
+  private def commitPhase[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    try f finally {
+      val dt = System.nanoTime() - t0
+      commitPhaseNanos(name) = commitPhaseNanos.getOrElse(name, 0L) + dt
+    }
+  }
+
   def commit(df: DataFrame, batchId: Long, metrics: Map[String, Long] = Map.empty,
              partitionBy: Seq[String] = Nil): Boolean = synchronized { withProcessLock("commit") {
     if (committedBatchIds.contains(batchId)) return false
@@ -729,19 +762,24 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
 
     val dataDir = p("data", s"batch=$batchId")
     val writer = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(dataDir.toString)
+    commitPhase("write") {
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(dataDir.toString)
+    }
     writeAtomic(p("SCHEMA"), mergedSchema.json)
     if (partitionBy.nonEmpty && partCols != partitionBy)
       writeAtomic(p("PARTCOLS"), partitionBy.mkString(","))
 
-    val written = writtenFiles(dataDir, df.sparkSession.sessionState.newHadoopConf(),
-      Some(df.schema))
+    val written = commitPhase("footers") {
+      writtenFiles(dataDir, df.sparkSession.sessionState.newHadoopConf(),
+        Some(df.schema))
+    }
     val totalRows = written.map(_.rows).sum
     val filesJson = filesJsonOf(written)
     val metricsJson = metrics.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jsonStr(k)}:$v" }.mkString("{", ",", "}")
     val manifestName = s"manifest-$batchId.json"
+    commitPhase("meta") {
     writeAtomic(p("manifests", manifestName),
       s"""{"batchId":$batchId,"rows":$totalRows,"files":$filesJson,"metrics":$metricsJson}""")
 
@@ -760,6 +798,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     publishVersioned(p("snapshots", s"v${v + 1}.json"), snapshotJson)
     advancePointer(v)
     if (idsCacheVersion == v) { idsCache += batchId; idsCacheVersion = v + 1 }
+    }
     true
   } }
 
@@ -1132,7 +1171,7 @@ object Zorder {
   }
 }
 
-final class ExactlyOnceSink(table: GraftTable,
+final class ExactlyOnceSink(val table: GraftTable,
                             metrics: Long => Map[String, Long] = _ => Map.empty,
                             lineage: Boolean = false,
                             clusterBy: Seq[String] = Nil,
