@@ -32,4 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 24g default: local[32] with an 8g heap is GC-bound (measured: batch
   // throughput collapses and 32 threads run no faster than 8)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+  // GC experiment knob for the scaling bench (e.g. UseParallelGC):
+  // single-JVM local[32] shares one collector across all "executors",
+  // so GC choice is a width-scaling variable worth isolating
+) ++ sys.env.get("SPARK_GRAFT_GC").toSeq.map(g => s"-XX:+$g")

@@ -105,15 +105,21 @@ object Bench {
       val transformed = mode match {
         case "audio" =>
           // realistic audio path: in-flight synth → decode via the Catalyst
-          // expressions → RMS feature, then the event pipeline input stays
-          // the clip row (decode cost dominates; bytes never hit disk)
+          // expressions → energy feature, then the event pipeline input stays
+          // the clip row (decode cost dominates; bytes never hit disk).
+          // Energy via the engine's codegen'd Norm2F kernel (identical
+          // left-fold Σx²): the earlier aggregate(transform(...)) HOF ran
+          // an interpreted lambda per SAMPLE and materialized a double
+          // array per row — that measured the interpreter's allocation
+          // rate (shared-heap GC contention at width 32), not the engine.
           graft.functions.AudioFunctions.register(spark)
+          graft.functions.VecFunctions.register(spark)
           import graft.functions.AudioFunctions._
           stream.filter(Pipeline.gate)
             .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
             .withColumn("pcm", pcm_decode(col("bytes"), col("codec")))
             .select(col("clip_id"), col("sr_hz"),
-              expr("aggregate(transform(pcm, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v)").as("energy"))
+              graft.functions.VecFunctions.norm2_f(col("pcm")).as("energy"))
         case "cep" =>
           // stateful path: shuffle on event_key + flatMapGroupsWithState;
           // measures the state-store/shuffle scaling, not just the map side

@@ -30,6 +30,10 @@ import graft.table.{ExactlyOnceSink, GraftTable}
   *                                        file rewrite, see GraftTable.delete)
   *   --job update  --where <predicate> \
   *     --set "col=<sql expr>" [--set ...]  row-level copy-on-write update
+  *   --job merge   --input <source dir> \
+  *     --merge-keys k[,k...] --merge-batch-id <id>   key-matched upsert
+  *                                        (update-else-insert, one commit,
+  *                                        idempotent by --merge-batch-id)
   *                                        (redaction path; values cast to
   *                                        the column's declared type)
   *
@@ -73,14 +77,18 @@ object Main {
                           targetFiles: Int = 32, keepFrom: Option[Long] = None,
                           where: Option[String] = None,
                           egress: Option[String] = None,
-                          sets: Seq[String] = Nil)
+                          sets: Seq[String] = Nil,
+                          mergeKeys: Seq[String] = Nil,
+                          mergeBatchId: Option[Long] = None)
 
   val ValidJobs: Set[String] =
     Set("events", "pipeline", "windows", "sessions", "cep",
-      "compact", "vacuum", "describe", "delete", "update", "forward")
+      "compact", "vacuum", "describe", "delete", "update", "merge", "forward")
 
-  /** Table-maintenance jobs: operate on --output only (no stream). */
-  val MaintenanceJobs: Set[String] = Set("compact", "vacuum", "describe", "delete", "update")
+  /** Table-maintenance jobs: operate on --output only (no stream —
+    * merge's `--input` is a static source batch, not a stream). */
+  val MaintenanceJobs: Set[String] =
+    Set("compact", "vacuum", "describe", "delete", "update", "merge")
 
   /** One parser for `--set "col=<sql expr>"`, shared by validation and
     * execution so they cannot drift: returns (trimmed column, expr text)
@@ -124,6 +132,10 @@ object Main {
       case "--set" :: v :: t => loop(t, c.copy(sets = c.sets :+ v))
       // network egress target for --job forward
       case "--egress" :: v :: t => loop(t, c.copy(egress = Some(v)))
+      // upsert key columns + idempotence id for --job merge
+      case "--merge-keys" :: v :: t =>
+        loop(t, c.copy(mergeKeys = v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
+      case "--merge-batch-id" :: v :: t => loop(t, c.copy(mergeBatchId = Some(v.toLong)))
       // Hive-style directory layout on the sink table: value-pure files
       // enable exact partition pruning and shuffle-free storage-partitioned
       // aggregation/joins on these columns (low-cardinality columns only)
@@ -154,6 +166,13 @@ object Main {
           cols.distinct.size != cols.size
         })
           Left("duplicate --set for the same column (SQL UPDATE assigns each column once)")
+        else if (c.job == "merge" && c.input.isEmpty)
+          Left("--input <source parquet dir> is required for --job merge")
+        else if (c.job == "merge" && c.mergeKeys.isEmpty)
+          Left("--merge-keys col[,col...] is required for --job merge")
+        else if (c.job == "merge" && c.mergeBatchId.isEmpty)
+          Left("--merge-batch-id <id> is required for --job merge (the " +
+            "idempotence key that makes a replayed merge a no-op)")
         else if (c.targetFiles <= 0) Left("--target-files must be positive")
         else Right(c)
       }
@@ -312,6 +331,25 @@ object Main {
           }
         val metric = if (conf.job == "delete") "rows_deleted" else "rows_updated"
         println(s"""{"job":"${conf.job}","$metric":$n,"new_version":${table.version}}""")
+      }
+      spark.stop()
+      return
+    }
+    if (conf.job == "merge") {
+      maintenance(cleanup = () => spark.stop()) {
+        val table = new GraftTable(conf.output)
+        val stats =
+          try table.merge(spark, spark.read.parquet(conf.input),
+            conf.mergeKeys, conf.mergeBatchId.get)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"merge source does not resolve: ${e.getMessage}")
+            case e: org.apache.spark.SparkException =>
+              throw new IllegalStateException(
+                s"merge failed: ${Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)}")
+          }
+        println(s"""{"job":"merge","rows_updated":${stats.updated},"rows_inserted":${stats.inserted},"new_version":${table.version}}""")
       }
       spark.stop()
       return

@@ -142,6 +142,11 @@ FROM documents GROUP BY 1"""
     * [[hotShingleCount]] when the result looks suspiciously clean. */
   val DefaultMaxShingleDf: Long = 128L
 
+  /** Max distinct hot shingles the capped path will broadcast (≈30 MB of
+    * short strings serialized — comfortable on any driver); above it the
+    * rare/hot split falls back to shuffle semi-joins. */
+  val BroadcastHotShingleLimit: Long = 1000000L
+
   /** Number of shingles EXCLUDED from candidate generation by a DF cap —
     * the observability hook for the capped default: a nonzero count means
     * some pairs may have been missed, a large one means the cap is doing
@@ -178,15 +183,31 @@ FROM documents GROUP BY 1"""
         // shingle gets the exact uncapped plan — identical results, zero
         // overhead for the scale safety; only a corpus that actually has
         // hot shingles builds the rare/hot split
-        val hasHot = df.filter(col("df") > cap).limit(1).count() > 0
-        if (!hasHot)
+        val hotList = df.filter(col("df") > cap).select("shingle")
+        val hotCount = hotList.count()
+        if (hotCount == 0L)
           sh.as("a")
             .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
             .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
             .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
         else {
-          val rareSh = sh.join(df.filter(col("df") <= cap).select("shingle"), Seq("shingle"), "left_semi")
-          val hotSh = sh.join(df.filter(col("df") > cap).select("shingle"), Seq("shingle"), "left_semi")
+          // The hot list is bounded by construction (≤ |shingle rows|/cap
+          // distinct values) and in real corpora tiny (stop-word tails).
+          // When it fits comfortably in the driver, broadcast it so BOTH
+          // temperature legs become broadcast joins over one scan of sh —
+          // an anti join for rare, a semi join for hot — instead of two
+          // shuffle semi-joins against the full DF aggregate. The count
+          // is exact and probed driver-side from the pinned aggregate, so
+          // a pathological corpus (everything slightly above cap) falls
+          // back to the shuffle plan rather than OOMing the driver.
+          val (rareSh, hotSh) =
+            if (hotCount <= BroadcastHotShingleLimit) {
+              val hotB = broadcast(hotList)
+              (sh.join(hotB, Seq("shingle"), "left_anti"),
+               sh.join(hotB, Seq("shingle"), "left_semi"))
+            } else
+              (sh.join(df.filter(col("df") <= cap).select("shingle"), Seq("shingle"), "left_semi"),
+               sh.join(hotList, Seq("shingle"), "left_semi"))
           // pinned: commonRare feeds BOTH the hot-term candidate list and
           // the final sum join — uncached, the rare self-join would run
           // twice (released with the shingle cache by releaseCaches)

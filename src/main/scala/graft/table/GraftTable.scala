@@ -34,6 +34,10 @@ final case class FileInfo(path: String, rows: Long, bytes: Long,
 final case class ManifestData(batchIds: Seq[Long], replacesUpTo: Option[Long],
                               rows: Long, files: Seq[FileInfo])
 
+/** Outcome of a [[GraftTable.merge]]: matched-key rows replaced and
+  * new-key rows appended, in one commit. */
+final case class MergeStats(updated: Long, inserted: Long)
+
 /** From-scratch snapshot/manifest ACID table (Iceberg-style semantics, zero
   * Iceberg dependency — this sandbox ships Spark jars only; SURVEY §7.2).
   *
@@ -899,9 +903,99 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
         if (!keptManifests.contains(m.getFileName.toString)) Files.delete(m)
       } finally listing.close()
     }
+    gcOrphansLocked(0L) // crashed/CAS-loser leftovers expire with retention
     invalidateMetaCaches() // snapshot/manifest files were deleted
     deleted
   } }
+
+  /** Crash/CAS-race orphan GC that expires NO history — the maintenance
+    * pass for writer-race leftovers ([[PointerCommitter.putVersioned]]
+    * losers and crashed writers). Removes, oldest-guarded by
+    * `olderThanMs` (object mtime):
+    *
+    *  1. snapshot nodes ABOVE the live pointer — a writer that published
+    *     its node but died before the swap. In a CAS store that orphan
+    *     would refuse every future writer's putVersioned of the same
+    *     version forever; here it is provably unreachable (readers start
+    *     from VERSION) and safe to drop.
+    *  2. `.tmp` publication leftovers in snapshots/ and manifests/.
+    *  3. manifests referenced by NO snapshot node on disk — a CAS loser
+    *     that wrote its manifest, then aborted when its node or swap was
+    *     refused.
+    *  4. data files listed in no surviving manifest (the loser's batch
+    *     directory).
+    *
+    * `olderThanMs = 0` is sound under the advisory process lock — no
+    * writer can be mid-commit while gc holds it. CAS deployments without
+    * a meaningful cross-client lock should pass a TTL comfortably larger
+    * than any commit duration so an IN-FLIGHT writer's fresh objects
+    * survive (the lease/timestamp expiry [[PointerCommitter.putVersioned]]
+    * documents). The live chain, time travel to any still-present
+    * version, and resumed readers are unaffected: only unreachable
+    * objects go. Returns the number of objects removed. */
+  def gcOrphans(olderThanMs: Long = 0L): Int =
+    synchronized { withProcessLock("vacuum") { gcOrphansLocked(olderThanMs) } }
+
+  private def gcOrphansLocked(olderThanMs: Long): Int = {
+    val cur = version
+    val now = System.currentTimeMillis()
+    def oldEnough(f: Path): Boolean =
+      try now - Files.getLastModifiedTime(f).toMillis >= olderThanMs
+      catch { case _: java.io.IOException => false }
+    var removed = 0
+    def rm(f: Path): Unit =
+      if (oldEnough(f) && Files.deleteIfExists(f)) removed += 1
+    val snapName = "^v(\\d+)\\.json$".r
+    val snapDir = p("snapshots")
+    if (Files.exists(snapDir)) {
+      val ls = Files.list(snapDir)
+      try ls.iterator().asScala.foreach { f =>
+        val n = f.getFileName.toString
+        if (n.endsWith(".tmp")) rm(f)
+        else snapName.findFirstMatchIn(n)
+          .foreach(m => if (m.group(1).toLong > cur) rm(f))
+      } finally ls.close()
+    }
+    // manifests referenced by ANY snapshot node still on disk (expired
+    // history is gone already; orphan nodes above cur were just removed)
+    val referenced = scala.collection.mutable.Set.empty[String]
+    if (Files.exists(snapDir)) {
+      val ls = Files.list(snapDir)
+      try ls.iterator().asScala.foreach { f =>
+        if (snapName.findFirstMatchIn(f.getFileName.toString).isDefined) {
+          val node = mapper.readTree(Files.readAllBytes(f))
+          Seq("added", "manifests").foreach { k =>
+            if (node.has(k)) node.get(k).elements().asScala
+              .foreach(e => referenced += e.asText())
+          }
+        }
+      } finally ls.close()
+    }
+    val manifestsDir = p("manifests")
+    if (Files.exists(manifestsDir)) {
+      val ls = Files.list(manifestsDir)
+      try ls.iterator().asScala.foreach { f =>
+        val n = f.getFileName.toString
+        if (n.endsWith(".tmp") || !referenced.contains(n)) rm(f)
+      } finally ls.close()
+    }
+    // data files no surviving manifest lists (same absolute-normalized
+    // comparison as vacuum — a prefix-form mismatch here deletes live data)
+    def canon(s: String): String = Paths.get(s).toAbsolutePath.normalize.toString
+    val keptFiles = referenced.toSet
+      .filter(m => Files.exists(p("manifests", m)))
+      .flatMap((m: String) => manifestFileRows(m).map(r => canon(r._1)))
+    val dataRoot = p("data")
+    if (Files.exists(dataRoot)) {
+      val walk = Files.walk(dataRoot)
+      try walk.iterator().asScala.foreach { f =>
+        if (f.getFileName.toString.endsWith(".parquet") &&
+            !keptFiles.contains(canon(f.toString))) rm(f)
+      } finally walk.close()
+    }
+    if (removed > 0) invalidateMetaCaches()
+    removed
+  }
 
   /** Total committed row count straight from manifests (no data scan). */
   def committedRows: Long = synchronized {
@@ -990,6 +1084,139 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     }
   }
 
+  /** Row-level MERGE (upsert) — the CDC-ingest shape that completes the
+    * DML triple next to [[delete]] and [[update]]: each source row either
+    * REPLACES the target row with the same key or is INSERTED, in ONE
+    * commit. File-granular copy-on-write like its siblings:
+    *
+    *  1. the source's per-key min/max envelope becomes a range predicate;
+    *     manifest stats prove which files cannot hold a matching key
+    *     (same sound translator as delete — [[DeletePruning]]), so a
+    *     CDC batch keyed on a clustered/partitioned column rewrites a
+    *     few files, not the table.
+    *  2. candidate files are read, rows whose key appears in the source
+    *     are dropped (their replacement is the source row), and the
+    *     survivors + ALL source rows are rewritten together — matched
+    *     keys updated, new keys inserted, untouched files referenced by
+    *     path in the same rewrite manifest.
+    *  3. `batchId` rides in the manifest's batchIds list, so a replayed
+    *     merge (foreachBatch retry, job restart) is a no-op through the
+    *     same idempotence check every commit uses — exactly-once table
+    *     contents without a second mechanism.
+    *
+    * Contract: `keys` must be non-null and unique in the source (a key
+    * matched by two source rows is an ambiguous update — refused, the
+    * same rule SQL MERGE applies); the source must carry exactly the
+    * table's columns (values are cast to declared types). Zero source
+    * rows no-op without burning a version. */
+  def merge(spark: SparkSession, source: DataFrame, keys: Seq[String],
+            batchId: Long): MergeStats = synchronized { withProcessLock("merge") {
+    val v = version
+    require(v > 0, "nothing to merge into (commit an initial batch first)")
+    require(keys.nonEmpty, "merge needs at least one key column")
+    if (committedBatchIds.contains(batchId)) return MergeStats(0L, 0L) // replay
+    val tableSchema = schemaOf.getOrElse(readVersion(spark, v).schema)
+    val tCols = tableSchema.fields.map(_.name).toSet
+    require(keys.forall(tCols.contains),
+      s"merge keys not in table schema: ${keys.filterNot(tCols.contains).mkString(", ")}")
+    val sCols = source.columns.toSet
+    require(tCols == sCols,
+      s"merge source columns must match the table's; missing=${(tCols -- sCols).mkString(",")} extra=${(sCols -- tCols).mkString(",")}")
+    // align to declared types once; persisted — the source feeds the key
+    // sanity aggregate, the prune envelope, the anti-join and the write
+    val src0 = source.select(tableSchema.fields.toIndexedSeq
+      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*).persist()
+    var candDf: DataFrame = null
+    try {
+      // ONE aggregate for the whole key contract + prune envelope: row
+      // count, distinct keys, null keys, per-key min/max
+      val keyStruct = struct(keys.map(col): _*)
+      val aggCols = Seq(
+        count(lit(1)).as("n"),
+        count_distinct(keyStruct).as("d"),
+        sum(when(keys.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L)).as("nulls")) ++
+        keys.flatMap(k => Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
+      val a = src0.agg(aggCols.head, aggCols.tail: _*).head()
+      val srcCount = a.getLong(0)
+      if (srcCount == 0L) return MergeStats(0L, 0L)
+      require(a.getLong(2) == 0L, "merge keys must be non-null in the source")
+      require(a.getLong(1) == srcCount,
+        "duplicate keys in the merge source: each key must occur at most once (ambiguous update)")
+      // every matched target row's key lies inside the source's per-key
+      // envelope, so a file outside it provably holds no match — the
+      // exact safety direction pruning needs
+      val envelope = keys.zipWithIndex.map { case (k, i) =>
+        col(k) >= lit(a.get(3 + 2 * i)) && col(k) <= lit(a.get(4 + 2 * i))
+      }.reduce(_ && _)
+      val cond = DeletePruning.analyzedCondition(readVersion(spark, v), envelope)
+      val pruneFilters = DeletePruning.filtersFor(cond)
+      val allFiles = snapshotManifests(v).flatMap(m => manifest(m).files)
+      val (cands, untouched) = allFiles.partition(f => FilePrune.keep(f, pruneFilters))
+
+      val updated =
+        if (cands.isEmpty) 0L
+        else {
+          candDf = readCandidateFiles(spark, cands, Some(tableSchema)).persist()
+          candDf.join(src0.select(keys.map(col): _*), keys, "left_semi").count()
+        }
+      val inserted = srcCount - updated
+      // survivors of the candidate files (keys absent from the source)
+      // plus ALL source rows — new keys insert, matched keys carry the
+      // source's values
+      val outRows =
+        if (candDf == null) src0
+        else candDf.join(src0.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(src0)
+
+      val dataDir = p("data", s"merge=v$v")
+      val pc = partCols.filter(outRows.columns.contains)
+      val w = outRows.write.mode("overwrite")
+      (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(dataDir.toString)
+      val written = writtenFiles(dataDir, spark.sessionState.newHadoopConf(), Some(tableSchema))
+      val (live, empty) = written.partition(_.rows > 0)
+      empty.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+
+      val all = (untouched ++ live).toArray.sortBy((x: FileInfo) => x.path)
+      val coveredIds = (committedBatchIds + batchId).toSeq.sorted
+      val manifestName = s"manifest-merge-v$v.json"
+      publishVersioned(p("manifests", manifestName),
+        s"""{"replacesUpTo":$v,"batchIds":${coveredIds.mkString("[", ",", "]")},"rows":${all.map(_.rows).sum},"files":${filesJsonOf(all)},"metrics":{"rows_updated":$updated,"rows_inserted":$inserted}}""")
+      publishVersioned(p("snapshots", s"v${v + 1}.json"),
+        s"""{"version":${v + 1},"added":[${jsonStr(manifestName)}],"manifests":[${jsonStr(manifestName)}]}""")
+      advancePointer(v)
+      if (idsCacheVersion == v) { idsCache += batchId; idsCacheVersion = v + 1 }
+      MergeStats(updated, inserted)
+    } finally {
+      src0.unpersist()
+      if (candDf != null) { candDf.unpersist(); () }
+    }
+  } }
+
+  /** Read a set of manifest-listed files as one DataFrame, grouping by
+    * directory-encoded partition values and re-injecting them as typed
+    * constants (they live in the path, not the files, and downstream
+    * predicates/joins may reference them). Shared by the CoW rewrites
+    * ([[delete]]/[[update]]) and [[merge]]. */
+  private def readCandidateFiles(spark: SparkSession, cands: Seq[FileInfo],
+                                 tableSchema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val groups = cands.groupBy(_.pv).toSeq
+    val dfs = groups.map { case (pv, fs) =>
+      val base = tableSchema match {
+        case Some(sc) =>
+          val fileSchema = org.apache.spark.sql.types.StructType(
+            sc.fields.filterNot(f => pv.contains(f.name)))
+          spark.read.schema(fileSchema).parquet(fs.map(_.path): _*)
+        case None => spark.read.parquet(fs.map(_.path): _*)
+      }
+      pv.toSeq.sortBy(_._1).foldLeft(base) { case (d, (c, ov)) =>
+        val dt = tableSchema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.StringType)
+        d.withColumn(c, lit(ov.orNull).cast(dt))
+      }
+    }
+    dfs.reduce(_ unionByName _)
+  }
+
   /** Shared copy-on-write machinery for predicate-scoped rewrites
     * ([[delete]], [[update]]): stats-prune to candidate files, read them
     * with partition values re-injected, hand the unioned candidates to
@@ -1027,32 +1254,14 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       if (cands.isEmpty) return 0L
 
       val dataDir = p("data", s"$tag=v$v")
-      val tableSchema = schemaOf
-      // group candidates by directory-encoded partition values: those
-      // live in the path, not the files, and the predicate may
-      // reference them — re-inject constants before evaluating it
-      val groups = cands.groupBy(_.pv).toSeq
-      val dfs = groups.map { case (pv, fs) =>
-        val base = tableSchema match {
-          case Some(sc) =>
-            val fileSchema = org.apache.spark.sql.types.StructType(
-              sc.fields.filterNot(f => pv.contains(f.name)))
-            spark.read.schema(fileSchema).parquet(fs.map(_.path): _*)
-          case None => spark.read.parquet(fs.map(_.path): _*)
-        }
-        pv.toSeq.sortBy(_._1).foldLeft(base) { case (d, (c, ov)) =>
-          val dt = tableSchema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
-            .getOrElse(org.apache.spark.sql.types.StringType)
-          d.withColumn(c, lit(ov.orNull).cast(dt))
-        }
-      }
       val candRows = cands.map(_.rows).sum
       var affectedOf: Long => Long = identity
       // persisted only when the transform needs TWO passes (update counts
       // matches, then writes — the z-order two-pass cache pattern);
       // delete's single write pass must not pay full candidate-set
       // caching on the 100 TB takedown path. Released after the write.
-      val unioned = dfs.reduce(_ unionByName _)
+      val tableSchema = schemaOf
+      val unioned = readCandidateFiles(spark, cands, tableSchema)
       val candDf = if (persistCandidates) unioned.persist() else unioned
       val written = try {
         transform(candDf, candRows) match {

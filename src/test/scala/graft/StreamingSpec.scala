@@ -660,6 +660,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(t.root, "data", s"update=v$vNoop")))
   }
 
+  test("merge (upsert): stats-pruned CoW update-else-insert in one commit, idempotent by batch id") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_merge").toString)
+    t.commit(Seq((1, "a"), (2, "b")).toDF("id", "v").coalesce(1), 0L)
+    t.commit(Seq((10, "j"), (11, "k")).toDF("id", "v").coalesce(1), 1L)
+    t.commit(Seq((20, "t")).toDF("id", "v").coalesce(1), 2L)
+    val v0 = t.version
+    // source keys {1, 3}: envelope [1,3] admits only batch=0 by stats —
+    // id=1 updates, id=3 inserts, batches 1/2 must not be touched
+    val st = t.merge(s, Seq((1, "A"), (3, "c")).toDF("id", "v"), Seq("id"), 100L)
+    assert(st == graft.table.MergeStats(1L, 1L))
+    assert(t.version == v0 + 1)
+    assert(t.read(s).as[(Int, String)].collect().toMap ==
+      Map(1 -> "A", 2 -> "b", 3 -> "c", 10 -> "j", 11 -> "k", 20 -> "t"))
+    // CoW granularity: only the stat-admitted file was rewritten
+    val files = t.dataFiles
+    assert(files.exists(_.contains("batch=1")) && files.exists(_.contains("batch=2")), files)
+    assert(!files.exists(_.contains("batch=0")), files)
+    assert(files.exists(_.contains(s"merge=v$v0")), files)
+    // exactly-once under replay: the same batch id no-ops even with
+    // different payload — the id marks "this CDC batch already applied"
+    assert(t.merge(s, Seq((1, "ZZZ"), (3, "ZZZ")).toDF("id", "v"), Seq("id"), 100L) ==
+      graft.table.MergeStats(0L, 0L))
+    assert(t.version == v0 + 1)
+    assert(t.read(s).as[(Int, String)].collect().toMap.apply(1) == "A")
+    // insert-only merge (all-new keys): zero candidate files, still one commit
+    assert(t.merge(s, Seq((40, "x")).toDF("id", "v"), Seq("id"), 101L) ==
+      graft.table.MergeStats(0L, 1L))
+    assert(t.read(s).count() == 7)
+    // time travel below the merge serves the pre-merge value
+    assert(t.readVersion(s, v0).filter($"id" === 1).select("v").head().getString(0) == "a")
+    // contract: duplicate source keys, null keys, and schema drift refuse loudly
+    intercept[IllegalArgumentException](
+      t.merge(s, Seq((5, "x"), (5, "y")).toDF("id", "v"), Seq("id"), 102L))
+    intercept[IllegalArgumentException](
+      t.merge(s, Seq((Option.empty[Int], "x")).toDF("id", "v"), Seq("id"), 103L))
+    intercept[IllegalArgumentException](
+      t.merge(s, Seq((5, "x", 1)).toDF("id", "v", "extra"), Seq("id"), 104L))
+    // empty source: full no-op, no version burned
+    val vN = t.version
+    assert(t.merge(s, Seq.empty[(Int, String)].toDF("id", "v"), Seq("id"), 105L) ==
+      graft.table.MergeStats(0L, 0L))
+    assert(t.version == vN)
+  }
+
+  test("delete racing an ACTIVE exactly-once writer: serialized commits, no lost or duplicated rows") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_race").toString)
+    val sink = new ExactlyOnceSink(t)
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[(Int, String)]
+    val q = input.toDF().toDF("id", "tag").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_race").toString)
+      .foreachBatch(sink.write _)
+      .start()
+    try {
+      // wave 1 fully committed before the delete is issued
+      input.addData((0 until 100).map(i => (i, "old")))
+      q.processAllAvailable()
+      // fire the delete from another thread WHILE wave-2 batches flow —
+      // same-instance calls serialize on the table monitor, so whatever
+      // the interleaving, commits and the CoW rewrite never interleave
+      val deleted = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val deleter = new Thread(() => deleted.set(
+        t.delete(s, col("tag") === "old" && col("id") < 50)))
+      deleter.start()
+      (0 until 5).foreach { w =>
+        input.addData((0 until 20).map(i => (1000 + w * 20 + i, "new")))
+        q.processAllAvailable()
+      }
+      deleter.join()
+      q.processAllAvailable()
+      assert(deleted.get() == 50L, s"expected 50 deleted, got ${deleted.get()}")
+      // invariant under ANY interleaving: wave-1 survivors + all wave-2
+      // rows, each exactly once — nothing lost, nothing duplicated
+      val rows = t.read(s).as[(Int, String)].collect().toSeq
+      assert(rows.length == rows.distinct.length, "duplicated rows after the race")
+      assert(rows.toSet ==
+        ((50 until 100).map(i => (i, "old")) ++ (0 until 100).map(i => (1000 + i, "new"))).toSet)
+      // and a fresh batch read equals a fresh stream backfill (streamed ==
+      // batch: the change stream over the final snapshot sees the same rows)
+      val dest = new GraftTable(Files.createTempDirectory("graft_race_dest").toString)
+      val destSink = new ExactlyOnceSink(dest)
+      val q2 = t.readStream(s).writeStream
+        .option("checkpointLocation", Files.createTempDirectory("ckpt_race2").toString)
+        .foreachBatch(destSink.write _)
+        .start()
+      q2.processAllAvailable(); q2.stop()
+      assert(dest.read(s).as[(Int, String)].collect().toSet == rows.toSet)
+    } finally q.stop()
+  }
+
   test("update SQL semantics: every SET right-hand side sees the ORIGINAL row") {
     val s = spark
     import s.implicits._
@@ -800,6 +894,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(new String(java.nio.file.Files.readAllBytes(rival), "UTF-8").contains("\"added\":[]"),
       "the rival writer's snapshot node was overwritten")
     assert(t.version == 5) // the pointer never advanced past the abort
+    // --- CAS orphan GC: the race left (a) the rival's node above the live
+    // pointer (in a CAS store it would refuse every future writer's
+    // putVersioned of v6 forever), (b) the aborted loser's batch manifest
+    // and data dir. gcOrphans removes all of them WITHOUT expiring any
+    // history, and the next writer is unblocked.
+    val orphanData = java.nio.file.Paths.get(t.root, "data", "batch=77")
+    assert(Files.exists(orphanData), "aborted commit should have left its data dir")
+    assert(Files.exists(java.nio.file.Paths.get(t.root, "manifests", "manifest-77.json")))
+    val liveBefore = t.read(s).collect().map(_.toString).sorted.toSeq
+    val removed = t.gcOrphans()
+    assert(removed >= 3, s"expected node + manifest + data orphans removed, got $removed")
+    assert(!Files.exists(rival), "orphan node above the pointer survived gc")
+    assert(!Files.exists(java.nio.file.Paths.get(t.root, "manifests", "manifest-77.json")),
+      "the CAS loser's unreferenced manifest survived gc")
+    val leftover = {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(java.nio.file.Paths.get(t.root, "data"))
+      try w.iterator().asScala.count(f =>
+        f.toString.contains("batch=77") && f.toString.endsWith(".parquet"))
+      finally w.close()
+    }
+    // live chain + current read unaffected; pointer untouched
+    assert(t.read(s).collect().map(_.toString).sorted.toSeq == liveBefore)
+    assert(t.version == 5)
+    // time travel to the surviving floor version still resolves
+    assert(t.readVersion(s, 5).count() == 2)
+    // the previously-blocked v6 slot is free: a fresh commit succeeds
+    assert(t.commit(Seq((7, "x")).toDF("id", "v").coalesce(1), 78L))
+    assert(t.version == 6 && t.read(s).count() == 3)
+    // a resumed reader past the race sees the new commit, not the orphan
+    assert(leftover == 0, "loser parquet files survived gc")
   }
 
   test("steady-state triggers do bounded metadata I/O on a long-lived table") {
