@@ -57,16 +57,27 @@ object Bench {
     * caps usable parallelism at 8 regardless of executor count — the
     * round-1 bug). */
   private def stageInput(spark: SparkSession, sfDir: String, outDir: String,
-                         replicate: Int, nFiles: Int): Long = {
+                         replicate: Int, nFiles: Int, mode: String = "sink"): Long = {
     // The "-p0" tail keeps the replica id INSIDE the event key (eventKey
     // drops the last two '-' segments): staged keys stay high-cardinality
     // (one per source clip) instead of collapsing to the fixture's 32 —
     // at width 32 a 32-key stateful shuffle is one key per core and the
     // CEP path measures key starvation, not the engine.
-    val clips = ClipTable.clips(spark, sfDir)
+    val clips0 = ClipTable.clips(spark, sfDir)
       .crossJoin(spark.range(replicate.toLong).select(col("id").as("rep")))
       .withColumn("clip_id", concat(col("clip_id"), lit("-r"), col("rep"), lit("-p0")))
       .drop("rep")
+    // audio mode reads REAL clip bytes from storage (the production
+    // shape: a table scan feeds decode) — synthesize them once at staging
+    // instead of per-trial in the measured path, where the synth's own
+    // per-row allocations were a width-independent cost polluting the
+    // scaling signal
+    val clips = if (mode == "audio") {
+      graft.functions.AudioFunctions.register(spark)
+      import graft.functions.AudioFunctions._
+      clips0.withColumn("bytes",
+        pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+    } else clips0
     clips.repartition(nFiles).write.mode("overwrite").parquet(outDir)
     spark.read.parquet(outDir).count()
   }
@@ -104,22 +115,25 @@ object Bench {
         .parquet(inputDir)
       val transformed = mode match {
         case "audio" =>
-          // realistic audio path: in-flight synth → decode via the Catalyst
-          // expressions → energy feature, then the event pipeline input stays
-          // the clip row (decode cost dominates; bytes never hit disk).
-          // Energy via the engine's codegen'd Norm2F kernel (identical
-          // left-fold Σx²): the earlier aggregate(transform(...)) HOF ran
-          // an interpreted lambda per SAMPLE and materialized a double
-          // array per row — that measured the interpreter's allocation
-          // rate (shared-heap GC contention at width 32), not the engine.
+          // realistic audio path: scan the staged clip BYTES → fused
+          // decode+energy via the codegen'd PcmEnergy expression. Two
+          // deliberate engineering moves vs the round-4 shape, same
+          // logical job (decode every clip, emit Σx² energy):
+          //  - bytes come from the table scan (staged once), not per-trial
+          //    in-flight synth — the production shape, and synth allocation
+          //    no longer pollutes the measured path;
+          //  - decode and feature are FUSED (PcmCodec.energy): no per-row
+          //    float[] materialization. Per-row allocation is serviced by
+          //    the ONE shared heap regardless of width, so it was the
+          //    dominant non-scaling cost — the earlier
+          //    aggregate(transform(...)) HOF additionally interpreted a
+          //    lambda per sample and measured the interpreter, not the
+          //    engine.
           graft.functions.AudioFunctions.register(spark)
-          graft.functions.VecFunctions.register(spark)
           import graft.functions.AudioFunctions._
           stream.filter(Pipeline.gate)
-            .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
-            .withColumn("pcm", pcm_decode(col("bytes"), col("codec")))
             .select(col("clip_id"), col("sr_hz"),
-              graft.functions.VecFunctions.norm2_f(col("pcm")).as("energy"))
+              pcm_energy(col("bytes"), col("codec")).as("energy"))
         case "cep" =>
           // stateful path: shuffle on event_key + flatMapGroupsWithState;
           // measures the state-store/shuffle scaling, not just the map side
@@ -206,7 +220,7 @@ object Bench {
           if (mode == "audio") "3" else "40").toInt
         val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "512").toInt
         val mfpt = sys.env.getOrElse("SPARK_GRAFT_BENCH_MFPT", (nFiles / 4).toString).toInt
-        val nClips = stageInput(spark, sfDir, inputDir, replicate, nFiles)
+        val nClips = stageInput(spark, sfDir, inputDir, replicate, nFiles, mode)
         spark.stop()
         // The sandbox host is shared: load-average spikes from other
         // tenants corrupt wide runs far more than narrow ones. Alternate

@@ -110,6 +110,50 @@ object PcmCodec {
     case _ => null
   }
 
+  /** Fused decode→energy: Σ((double)sample)² over exactly the samples (and
+    * in exactly the left-fold order) that [[decode]] → Norm2F would
+    * produce, WITHOUT materializing the float array. Operator fusion for
+    * the feature path: the per-row byte[]→float[] copy is pure allocation
+    * — the one cost that does NOT scale with cores in a shared-heap
+    * local[N] (or a real executor's GC) — so the fused form is both
+    * faster and width-scalable. Returns null (boxed) for undecodable
+    * input, mirroring [[decode]]'s tolerant semantics. */
+  def energy(bytes: Array[Byte], codec: String): java.lang.Double = {
+    // (offset << 32) | length of the 16-bit sample region, or -1
+    val range: Long = codec match {
+      case "pcm_s16le" if bytes != null => bytes.length.toLong
+      case "wav" if bytes != null && bytes.length >= 44 &&
+          new String(bytes, 0, 4, "ASCII") == "RIFF" =>
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var pos = 12
+        var r = -1L
+        while (r < 0 && pos + 8 <= bytes.length) {
+          val id = new String(bytes, pos, 4, "ASCII")
+          val size = bb.getInt(pos + 4)
+          if (id == "data" && size >= 0 && pos + 8 + size <= bytes.length)
+            r = ((pos + 8).toLong << 32) | size.toLong
+          else pos += 8 + size + (size & 1)
+        }
+        r
+      case _ => -1L
+    }
+    if (range < 0) null
+    else {
+      val off = (range >> 32).toInt
+      val n = (range & 0xffffffffL).toInt / 2
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val lo = bytes(off + 2 * i) & 0xff
+        val hi = bytes(off + 2 * i + 1)
+        val v = (((hi << 8) | lo).toShort / 32768f).toDouble
+        acc += v * v
+        i += 1
+      }
+      acc
+    }
+  }
+
   /** Linear-interpolation resample src→dst Hz; null on non-positive rates.
     * Output i reads source position i·src/dst (exact double math), clamped
     * interpolation at the tail. */
@@ -226,6 +270,34 @@ case class PcmDecode(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Catalyst expression: pcm_energy(bytes, codec) → double — the FUSED
+  * decode→Σx² feature (see [[PcmCodec.energy]]): bit-identical to
+  * `norm2_f(pcm_decode(bytes, codec))` with zero per-row array
+  * materialization, so the decode+feature path stays allocation-free
+  * inside WholeStageCodegen. */
+case class PcmEnergy(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(b: Any, c: Any): Any =
+    PcmCodec.energy(b.asInstanceOf[Array[Byte]], c.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c) => {
+      val e = ctx.freshName("energy")
+      s"""
+         |final java.lang.Double $e = graft.functions.PcmCodec.energy($b, $c.toString());
+         |if ($e == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $e.doubleValue();
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Catalyst expression: pcm_resample(pcm, src_hz, dst_hz) → array<float>.
   * Linear-interpolation resampling — the audio analog of the multimodal
   * "resize" op. Output sample i sits at source position i·src/dst;
@@ -275,6 +347,9 @@ object AudioFunctions {
   def pcm_resample(pcm: Column, srcHz: Column, dstHz: Column): Column =
     org.apache.spark.sql.functions.call_function("pcm_resample", pcm, srcHz, dstHz)
 
+  def pcm_energy(bytes: Column, codec: Column): Column =
+    org.apache.spark.sql.functions.call_function("pcm_energy", bytes, codec)
+
   /** round(1000·rms(pcm)) as bigint — ONE definition of the fold order so
     * every audio query stays in lockstep with the oracle-parity rule
     * (ascending left-fold double sum, rounded once). */
@@ -294,6 +369,8 @@ object AudioFunctions {
       "pcm_decode", exprs => PcmDecode(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pcm_resample", exprs => PcmResample(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pcm_energy", exprs => PcmEnergy(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** The FIXTURES §1 frequency rule: 220 + (i % 16)·55 Hz. */

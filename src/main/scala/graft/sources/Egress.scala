@@ -191,17 +191,28 @@ final class ChunkSender(host: String, port: Int, maxRetries: Int,
     Egress.retrying(maxRetries, baseBackoffMs, s"egress to $host:$port",
       onFailure = () => close()) { () =>
       if (out == null) connect()
+      // stale bytes already buffered BEFORE this chunk is sent are a
+      // previous reply's overflow arriving late — tear down now, before
+      // they can masquerade as this chunk's ack
+      if (in != null && in.available() > 0)
+        throw new IOException("protocol error: unsolicited bytes from receiver before send")
       lines.foreach { l =>
         out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
       }
       out.write(ChunkSender.AckMarker.getBytes(StandardCharsets.UTF_8))
       out.flush()
-      // the ack byte is the delivery proof; EOF (-1) = receiver died. The
-      // reply must be EXACTLY the one ack byte: a chatty receiver (e.g.
-      // "ok\n" per chunk) would otherwise leave buffered bytes that
-      // falsely ack later chunks it never processed — any unexpected byte
-      // is a protocol error that tears down the connection (onFailure
-      // close()) so the resend starts from a clean stream.
+      // The ack byte is the delivery proof; EOF (-1) = receiver died. The
+      // reply must be EXACTLY the one ack byte: any other value tears the
+      // connection down (onFailure close()) so the resend starts from a
+      // clean stream. The available() checks around the read catch a
+      // chatty receiver's extra bytes whenever they have arrived (same
+      // TCP segment — the overwhelmingly common case) but are inherently
+      // BEST-EFFORT: a 1-byte ack protocol cannot distinguish a stale
+      // extra '1' that arrives later, so the one-byte reply is a
+      // normative receiver requirement, not something the sender can
+      // fully police. Worst case for a violating receiver is a duplicate
+      // resend (at-least-once holds); a receiver replying with extra
+      // acks voids its own delivery guarantee.
       val r = in.read()
       if (r < 0) throw new IOException("receiver closed before ack")
       if (r != ChunkSender.AckByte)

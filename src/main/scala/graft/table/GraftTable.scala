@@ -30,9 +30,15 @@ final case class FileInfo(path: String, rows: Long, bytes: Long,
                           stats: Map[String, ColStats],
                           pv: Map[String, Option[String]] = Map.empty)
 
-/** Parsed manifest content (cached — manifests are immutable once written). */
+/** Parsed manifest content (cached — manifests are immutable once written).
+  * `mergeIds` is the [[GraftTable.merge]] idempotence namespace — kept
+  * SEPARATE from streaming `batchIds` so a user-chosen merge id can never
+  * collide with a checkpoint's monotonically growing batch ids (a
+  * collision would make the streaming sink silently treat a future
+  * micro-batch as already committed). */
 final case class ManifestData(batchIds: Seq[Long], replacesUpTo: Option[Long],
-                              rows: Long, files: Seq[FileInfo])
+                              rows: Long, files: Seq[FileInfo],
+                              mergeIds: Seq[Long] = Nil)
 
 /** Outcome of a [[GraftTable.merge]]: matched-key rows replaced and
   * new-key rows appended, in one commit. */
@@ -321,7 +327,10 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
         FileInfo(resolvePath(f.get("path").asText()), f.get("rows").asLong(),
           if (f.has("bytes")) f.get("bytes").asLong() else 0L, stats, pv)
       }.toSeq
-      ManifestData(batchIds, replaces, node.get("rows").asLong(), files)
+      val mergeIds =
+        if (node.has("mergeIds")) node.get("mergeIds").elements().asScala.map(_.asLong()).toSeq
+        else Nil
+      ManifestData(batchIds, replaces, node.get("rows").asLong(), files, mergeIds)
     })
 
   // (version, ids) cache: commit() consults committedBatchIds every batch,
@@ -342,6 +351,15 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       idsCacheVersion = v
     }
     idsCache
+  }
+
+  /** Merge ids already applied — [[merge]]'s idempotence namespace, read
+    * from manifest content like [[committedBatchIds]] but deliberately
+    * disjoint from it (see [[ManifestData.mergeIds]]); every rewrite
+    * manifest carries the set forward so replay protection survives
+    * compaction and later DML. */
+  def mergedBatchIds: Set[Long] = synchronized {
+    snapshotManifests(version).flatMap(m => manifest(m).mergeIds).toSet
   }
 
   /** (isRewrite, replacesUpTo) for one manifest: a compaction manifest
@@ -832,16 +850,31 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       .parquet(dataDir.toString)
 
     val written = writtenFiles(dataDir, spark.sessionState.newHadoopConf(), Some(src.schema))
-    val filesJson = filesJsonOf(written)
-    val manifestName = s"manifest-rewrite-v$v.json"
-    publishVersioned(p("manifests", manifestName),
-      s"""{"replacesUpTo":$v,"batchIds":${batchIds.toSeq.sorted.mkString("[", ",", "]")},"rows":${written.map(_.rows).sum},"files":$filesJson,"metrics":{}}""")
-    publishVersioned(p("snapshots", s"v${v + 1}.json"),
-      s"""{"version":${v + 1},"added":[${jsonStr(manifestName)}],"manifests":[${jsonStr(manifestName)}]}""")
-    advancePointer(v)
+    publishRewrite("rewrite", v, written.toSeq, batchIds.toSeq, mergedBatchIds.toSeq, "{}")
     if (idsCacheVersion == v) idsCacheVersion = v + 1 // same ids, new version
     v + 1
   } }
+
+  /** Publish one rewrite manifest (compaction/delete/update/merge) that
+    * replaces the whole chain at version `v`: the surviving file set, the
+    * covered streaming batch ids, the CARRIED-FORWARD merge-id namespace
+    * (replay protection must survive later rewrites), and per-op metrics;
+    * then the v+1 checkpoint snapshot and the pointer. The shared tail of
+    * every copy-on-write mutation, so protocol fixes land once. */
+  private def publishRewrite(tag: String, v: Long, files: Seq[FileInfo],
+                             coveredIds: Seq[Long], mergeIds: Seq[Long],
+                             metricsJson: String): Unit = {
+    val all = files.toArray.sortBy((x: FileInfo) => x.path)
+    val manifestName = s"manifest-$tag-v$v.json"
+    val mergeIdsJson =
+      if (mergeIds.isEmpty) ""
+      else s""","mergeIds":${mergeIds.sorted.mkString("[", ",", "]")}"""
+    publishVersioned(p("manifests", manifestName),
+      s"""{"replacesUpTo":$v,"batchIds":${coveredIds.sorted.mkString("[", ",", "]")},"rows":${all.map(_.rows).sum},"files":${filesJsonOf(all)},"metrics":$metricsJson$mergeIdsJson}""")
+    publishVersioned(p("snapshots", s"v${v + 1}.json"),
+      s"""{"version":${v + 1},"added":[${jsonStr(manifestName)}],"manifests":[${jsonStr(manifestName)}]}""")
+    advancePointer(v)
+  }
 
   /** Retention: expire snapshots older than `keepFromVersion` and delete
     * every data file and manifest no snapshot ≥ keepFromVersion references.
@@ -850,7 +883,13 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     * the expired range — vacuum after `compact()` only once readers have
     * caught up (their offsets are snapshot versions, so "caught up" is
     * checkable). Returns the number of deleted data files. */
-  def vacuum(keepFromVersion: Long): Int = synchronized { withProcessLock("vacuum") {
+  /** `orphanTtlMs` is forwarded to the [[gcOrphans]] pass that runs with
+    * retention: 0 (default) is sound wherever the advisory process lock
+    * is meaningful; deployments where it is not (CAS object stores, NFS
+    * without flock propagation) must pass a TTL larger than any commit
+    * duration so an in-flight writer's fresh objects survive. */
+  def vacuum(keepFromVersion: Long, orphanTtlMs: Long = 0L): Int =
+    synchronized { withProcessLock("vacuum") {
     val cur = version
     require(keepFromVersion >= 1 && keepFromVersion <= cur,
       s"keepFromVersion must be in [1, $cur]")
@@ -903,7 +942,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
         if (!keptManifests.contains(m.getFileName.toString)) Files.delete(m)
       } finally listing.close()
     }
-    gcOrphansLocked(0L) // crashed/CAS-loser leftovers expire with retention
+    gcOrphansLocked(orphanTtlMs) // crashed/CAS-loser leftovers expire with retention
     invalidateMetaCaches() // snapshot/manifest files were deleted
     deleted
   } }
@@ -1114,7 +1153,11 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     val v = version
     require(v > 0, "nothing to merge into (commit an initial batch first)")
     require(keys.nonEmpty, "merge needs at least one key column")
-    if (committedBatchIds.contains(batchId)) return MergeStats(0L, 0L) // replay
+    // merge ids live in their OWN namespace (manifest mergeIds), never the
+    // streaming batchId space: a user-chosen merge id equal to a future
+    // checkpoint batchId would otherwise make the exactly-once sink treat
+    // that micro-batch as already committed and silently drop it
+    if (mergedBatchIds.contains(batchId)) return MergeStats(0L, 0L) // replay
     val tableSchema = schemaOf.getOrElse(readVersion(spark, v).schema)
     val tCols = tableSchema.fields.map(_.name).toSet
     require(keys.forall(tCols.contains),
@@ -1153,11 +1196,17 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       val allFiles = snapshotManifests(v).flatMap(m => manifest(m).files)
       val (cands, untouched) = allFiles.partition(f => FilePrune.keep(f, pruneFilters))
 
+      // `updated` counts MATCHED SOURCE KEYS (semi-join from the source
+      // side), not matched target rows: an append-only table may hold
+      // duplicate keys, and counting target rows would both corrupt the
+      // stats (inserted = srcCount - updated could go negative) and hide
+      // the real semantics — ALL target rows of a matched key are
+      // replaced by the one source row (the upsert normalizes duplicates).
       val updated =
         if (cands.isEmpty) 0L
         else {
           candDf = readCandidateFiles(spark, cands, Some(tableSchema)).persist()
-          candDf.join(src0.select(keys.map(col): _*), keys, "left_semi").count()
+          src0.join(candDf.select(keys.map(col): _*), keys, "left_semi").count()
         }
       val inserted = srcCount - updated
       // survivors of the candidate files (keys absent from the source)
@@ -1176,15 +1225,10 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       val (live, empty) = written.partition(_.rows > 0)
       empty.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
 
-      val all = (untouched ++ live).toArray.sortBy((x: FileInfo) => x.path)
-      val coveredIds = (committedBatchIds + batchId).toSeq.sorted
-      val manifestName = s"manifest-merge-v$v.json"
-      publishVersioned(p("manifests", manifestName),
-        s"""{"replacesUpTo":$v,"batchIds":${coveredIds.mkString("[", ",", "]")},"rows":${all.map(_.rows).sum},"files":${filesJsonOf(all)},"metrics":{"rows_updated":$updated,"rows_inserted":$inserted}}""")
-      publishVersioned(p("snapshots", s"v${v + 1}.json"),
-        s"""{"version":${v + 1},"added":[${jsonStr(manifestName)}],"manifests":[${jsonStr(manifestName)}]}""")
-      advancePointer(v)
-      if (idsCacheVersion == v) { idsCache += batchId; idsCacheVersion = v + 1 }
+      publishRewrite("merge", v, untouched ++ live, committedBatchIds.toSeq,
+        (mergedBatchIds + batchId).toSeq,
+        s"""{"rows_updated":$updated,"rows_inserted":$inserted}""")
+      if (idsCacheVersion == v) idsCacheVersion = v + 1 // streaming ids unchanged
       MergeStats(updated, inserted)
     } finally {
       src0.unpersist()
@@ -1291,13 +1335,8 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
         return 0L
       }
 
-      val all = (untouched ++ live).toArray.sortBy((x: FileInfo) => x.path)
-      val manifestName = s"manifest-$tag-v$v.json"
-      publishVersioned(p("manifests", manifestName),
-        s"""{"replacesUpTo":$v,"batchIds":${batchIds.toSeq.sorted.mkString("[", ",", "]")},"rows":${all.map(_.rows).sum},"files":${filesJsonOf(all)},"metrics":{"$metricName":$affected}}""")
-      publishVersioned(p("snapshots", s"v${v + 1}.json"),
-        s"""{"version":${v + 1},"added":[${jsonStr(manifestName)}],"manifests":[${jsonStr(manifestName)}]}""")
-      advancePointer(v)
+      publishRewrite(tag, v, untouched ++ live, batchIds.toSeq, mergedBatchIds.toSeq,
+        s"""{"$metricName":$affected}""")
       if (idsCacheVersion == v) idsCacheVersion = v + 1 // same ids, new version
       affected
     } }

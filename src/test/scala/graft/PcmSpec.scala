@@ -86,6 +86,39 @@ class PcmSpec extends AnyFunSuite {
     assert(rows(2L).isEmpty) // unsupported codec → null bytes → null size
   }
 
+  test("pcm_energy: fused decode+feature is bit-identical to norm2_f(pcm_decode)") {
+    val s = spark
+    import s.implicits._
+    graft.functions.VecFunctions.register(s)
+    AudioFunctions.register(s)
+    // both codecs, several rates/durations, plus an unsupported codec row
+    val df = Seq((0L, 16000, 200, "pcm_s16le"), (1L, 8000, 300, "wav"),
+        (2L, 48000, 400, "wav"), (3L, 44100, 250, "pcm_s16le"),
+        (4L, 16000, 100, "opus-stub"))
+      .toDF("event_id", "sr_hz", "dur_ms", "codec")
+      .withColumn("bytes", AudioFunctions.pcm_synth(
+        AudioFunctions.clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+      .withColumn("fused", AudioFunctions.pcm_energy(col("bytes"), col("codec")))
+      .withColumn("staged", graft.functions.VecFunctions.norm2_f(
+        AudioFunctions.pcm_decode(col("bytes"), col("codec"))))
+    val rows = df.select("event_id", "fused", "staged").collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1) || r.isNullAt(2))
+        assert(r.isNullAt(1) && r.isNullAt(2), s"null-parity broke: $r")
+      else
+        // BIT-identical, not approximately equal: same samples, same
+        // left-fold order, so the doubles must match exactly
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+               java.lang.Double.doubleToLongBits(r.getDouble(2)), s"fold drift: $r")
+    }
+    assert(rows.count(r => !r.isNullAt(1)) == 4 && rows.count(_.isNullAt(1)) == 1)
+    // interpreted eval path agrees too (plain helper call)
+    val b = PcmCodec.synth(275.0, 16000, 200, "wav")
+    val viaArrays = { var a = 0.0; PcmCodec.decode(b, "wav").foreach(v => a += v.toDouble * v.toDouble); a }
+    assert(java.lang.Double.doubleToLongBits(PcmCodec.energy(b, "wav")) ==
+           java.lang.Double.doubleToLongBits(viaArrays))
+  }
+
   test("SQL-registered functions work in spark.sql") {
     AudioFunctions.register(spark)
     val n = spark.sql(

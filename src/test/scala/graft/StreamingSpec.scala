@@ -704,6 +704,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.merge(s, Seq.empty[(Int, String)].toDF("id", "v"), Seq("id"), 105L) ==
       graft.table.MergeStats(0L, 0L))
     assert(t.version == vN)
+    // namespace separation: a STREAMING commit whose checkpoint batchId
+    // collides with a past merge id must still be accepted — merge ids
+    // live in the manifest's mergeIds field, never the batchId space
+    assert(t.commit(Seq((60, "s")).toDF("id", "v").coalesce(1), 100L))
+    assert(t.read(s).filter($"id" === 60).count() == 1)
+    // ...and the merge-id namespace survives compaction (carried forward
+    // by every rewrite manifest): the old merge id still no-ops
+    t.compact(s, targetFiles = 1)
+    assert(t.merge(s, Seq((1, "QQQ"), (3, "QQQ")).toDF("id", "v"), Seq("id"), 100L) ==
+      graft.table.MergeStats(0L, 0L))
+    assert(t.read(s).as[(Int, String)].collect().toMap.apply(1) == "A")
+    // duplicate TARGET keys (legal in an append-only table): every row of
+    // a matched key is replaced by the ONE source row — the upsert
+    // normalizes duplicates — and stats count matched SOURCE keys, so
+    // inserted can never go negative
+    val t2 = new GraftTable(Files.createTempDirectory("graft_merge_dup").toString)
+    t2.commit(Seq((1, "a"), (1, "b"), (2, "z")).toDF("id", "v").coalesce(1), 0L)
+    assert(t2.merge(s, Seq((1, "N")).toDF("id", "v"), Seq("id"), 1L) ==
+      graft.table.MergeStats(1L, 0L))
+    assert(t2.read(s).as[(Int, String)].collect().sorted.toSeq == Seq((1, "N"), (2, "z")))
   }
 
   test("delete racing an ACTIVE exactly-once writer: serialized commits, no lost or duplicated rows") {
