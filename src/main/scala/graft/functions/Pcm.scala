@@ -99,14 +99,24 @@ object PcmCodec {
       val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var pos = 12
       var res: Array[Float] = null
-      while (res == null && pos + 8 <= bytes.length) {
+      var malformed = false
+      while (res == null && !malformed && pos + 8 <= bytes.length) {
         val id = new String(bytes, pos, 4, "ASCII")
         val size = bb.getInt(pos + 4)
-        if (id == "data" && pos + 8 + size <= bytes.length)
+        // negative size = corrupt chunk: skipping by 8+size could loop
+        // forever (or crash pcm16ToFloats); long math keeps a huge size
+        // from wrapping the bounds check and reading past the array
+        if (size < 0) malformed = true
+        else if (id == "data" && pos + 8L + size <= bytes.length)
           res = pcm16ToFloats(bytes, pos + 8, size)
-        else pos += 8 + size + (size & 1)
+        else {
+          // long math on the skip too: a huge non-data size would wrap
+          // pos negative, pass the loop bound, and crash the id read
+          val next = pos.toLong + 8L + size + (size & 1)
+          if (next > Int.MaxValue) malformed = true else pos = next.toInt
+        }
       }
-      res
+      if (malformed) null else res
     case _ => null
   }
 
@@ -127,14 +137,25 @@ object PcmCodec {
         val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         var pos = 12
         var r = -1L
-        while (r < 0 && pos + 8 <= bytes.length) {
+        var malformed = false
+        while (r < 0 && !malformed && pos + 8 <= bytes.length) {
           val id = new String(bytes, pos, 4, "ASCII")
           val size = bb.getInt(pos + 4)
-          if (id == "data" && size >= 0 && pos + 8 + size <= bytes.length)
+          // a negative chunk size is corrupt input: advancing by 8+size
+          // could loop forever (size = -8 advances by zero); overflow-safe
+          // long math on the bound — 0x7FFFFFFF would wrap an int sum and
+          // pass the check, then read past the array
+          if (size < 0) malformed = true
+          else if (id == "data" && pos + 8L + size <= bytes.length)
             r = ((pos + 8).toLong << 32) | size.toLong
-          else pos += 8 + size + (size & 1)
+          else {
+            // long math on the skip too: a huge non-data size would wrap
+            // pos negative, pass the loop bound, and crash the id read
+            val next = pos.toLong + 8L + size + (size & 1)
+            if (next > Int.MaxValue) malformed = true else pos = next.toInt
+          }
         }
-        r
+        if (malformed) -1L else r
       case _ => -1L
     }
     if (range < 0) null

@@ -184,12 +184,11 @@ FROM documents GROUP BY 1"""
         // overhead for the scale safety; only a corpus that actually has
         // hot shingles builds the rare/hot split
         val hotList = df.filter(col("df") > cap).select("shingle")
-        // existence first (limit(1) touches at most a few cached
-        // partitions), full count only when hot shingles exist — the
-        // clean-corpus fast path must not pay a full materialization of
-        // an aggregate its chosen plan never uses
-        val hasHot = hotList.limit(1).count() > 0L
-        val hotCount = if (hasHot) hotList.count() else 0L
+        // existence first (isEmpty is a limit(1) probe touching at most a
+        // few cached partitions), full count only when hot shingles exist
+        // — the clean-corpus fast path must not pay a full
+        // materialization of an aggregate its chosen plan never uses
+        val hotCount = if (hotList.isEmpty) 0L else hotList.count()
         if (hotCount == 0L)
           sh.as("a")
             .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -882,12 +882,14 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     * expired versions stops working, and a streaming reader must be past
     * the expired range — vacuum after `compact()` only once readers have
     * caught up (their offsets are snapshot versions, so "caught up" is
-    * checkable). Returns the number of deleted data files. */
-  /** `orphanTtlMs` is forwarded to the [[gcOrphans]] pass that runs with
-    * retention: 0 (default) is sound wherever the advisory process lock
-    * is meaningful; deployments where it is not (CAS object stores, NFS
-    * without flock propagation) must pass a TTL larger than any commit
-    * duration so an in-flight writer's fresh objects survive. */
+    * checkable). Returns the number of deleted data files.
+    *
+    * @param orphanTtlMs forwarded to the [[gcOrphans]] pass that runs
+    *   with retention: 0 (default) is sound wherever the advisory
+    *   process lock is meaningful; deployments where it is not (CAS
+    *   object stores, NFS without flock propagation) must pass a TTL
+    *   larger than any commit duration so an in-flight writer's fresh
+    *   objects survive. */
   def vacuum(keepFromVersion: Long, orphanTtlMs: Long = 0L): Int =
     synchronized { withProcessLock("vacuum") {
     val cur = version
@@ -1138,10 +1140,13 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     *     survivors + ALL source rows are rewritten together — matched
     *     keys updated, new keys inserted, untouched files referenced by
     *     path in the same rewrite manifest.
-    *  3. `batchId` rides in the manifest's batchIds list, so a replayed
-    *     merge (foreachBatch retry, job restart) is a no-op through the
-    *     same idempotence check every commit uses — exactly-once table
-    *     contents without a second mechanism.
+    *  3. `batchId` rides in the manifest's `mergeIds` list — a namespace
+    *     DISJOINT from streaming batchIds (a collision would make the
+    *     exactly-once sink silently drop a future micro-batch) and
+    *     carried forward by every later rewrite manifest — so a replayed
+    *     merge (foreachBatch retry, job restart) is a no-op. Note: the
+    *     field was introduced with this operator; no released table
+    *     predates it.
     *
     * Contract: `keys` must be non-null and unique in the source (a key
     * matched by two source rows is an ambiguous update — refused, the
@@ -1156,8 +1161,10 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     // merge ids live in their OWN namespace (manifest mergeIds), never the
     // streaming batchId space: a user-chosen merge id equal to a future
     // checkpoint batchId would otherwise make the exactly-once sink treat
-    // that micro-batch as already committed and silently drop it
-    if (mergedBatchIds.contains(batchId)) return MergeStats(0L, 0L) // replay
+    // that micro-batch as already committed and silently drop it.
+    // Resolved once — reused for the replay check and the publish below.
+    val priorMergeIds = mergedBatchIds
+    if (priorMergeIds.contains(batchId)) return MergeStats(0L, 0L) // replay
     val tableSchema = schemaOf.getOrElse(readVersion(spark, v).schema)
     val tCols = tableSchema.fields.map(_.name).toSet
     require(keys.forall(tCols.contains),
@@ -1226,7 +1233,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       empty.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
 
       publishRewrite("merge", v, untouched ++ live, committedBatchIds.toSeq,
-        (mergedBatchIds + batchId).toSeq,
+        (priorMergeIds + batchId).toSeq,
         s"""{"rows_updated":$updated,"rows_inserted":$inserted}""")
       if (idsCacheVersion == v) idsCacheVersion = v + 1 // streaming ids unchanged
       MergeStats(updated, inserted)

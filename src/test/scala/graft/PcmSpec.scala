@@ -69,6 +69,32 @@ class PcmSpec extends AnyFunSuite {
     assert(PcmCodec.decode(Array[Byte](1, 2, 3), "wav") == null) // malformed RIFF
   }
 
+  test("malformed WAV chunk sizes: negative/overflowing sizes → null, never a hang or crash") {
+    // a 60-byte RIFF shell whose first chunk header carries a poisoned size
+    def wavWith(id: String, size: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(60).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("ASCII")); b.putInt(52); b.put("WAVE".getBytes("ASCII"))
+      b.put(id.getBytes("ASCII")); b.putInt(size)
+      b.array()
+    }
+    // size = -8 made the old walker advance by ZERO each iteration — an
+    // executor task wedged forever on adversarial bytes through a
+    // registered SQL function (decode threw NegativeArraySize instead:
+    // the two paths also disagreed)
+    for (sz <- Seq(-8, -9, -1)) {
+      assert(PcmCodec.decode(wavWith("data", sz), "wav") == null)
+      assert(PcmCodec.energy(wavWith("data", sz), "wav") == null)
+      assert(PcmCodec.decode(wavWith("fmt ", sz), "wav") == null)
+      assert(PcmCodec.energy(wavWith("fmt ", sz), "wav") == null)
+    }
+    // Int.MaxValue wrapped the int bounds check (data chunk) or wrapped
+    // pos negative (skip branch) and crashed past the array
+    for (id <- Seq("data", "fmt ")) {
+      assert(PcmCodec.decode(wavWith(id, Int.MaxValue), "wav") == null)
+      assert(PcmCodec.energy(wavWith(id, Int.MaxValue), "wav") == null)
+    }
+  }
+
   test("Catalyst expressions: synth + decode through a DataFrame plan") {
     val s = spark
     import s.implicits._

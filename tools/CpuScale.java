@@ -32,6 +32,9 @@ public final class CpuScale {
   static double run(int threads, int sec, boolean memBound) throws Exception {
     final LongAdder ops = new LongAdder();
     final CountDownLatch start = new CountDownLatch(1);
+    // wall window must exclude per-thread buffer init (2 GiB at 32 threads
+    // vs 0.5 at 8) or the wide mem probe is biased low
+    final CountDownLatch ready = new CountDownLatch(threads);
     final long deadlineNs = sec * 1_000_000_000L;
     Thread[] ts = new Thread[threads];
     for (int t = 0; t < threads; t++) {
@@ -42,6 +45,7 @@ public final class CpuScale {
           arr = new long[8 * 1024 * 1024];            // 64 MiB per thread
           for (int i = 0; i < arr.length; i++) arr[i] = i * 0x9E3779B97F4A7C15L;
         }
+        ready.countDown();
         try { start.await(); } catch (InterruptedException e) { return; }
         long t0 = System.nanoTime();
         long sink = tid;
@@ -61,6 +65,7 @@ public final class CpuScale {
       ts[t].setDaemon(true);
       ts[t].start();
     }
+    ready.await();
     long w0 = System.nanoTime();
     start.countDown();
     for (Thread th : ts) th.join();
