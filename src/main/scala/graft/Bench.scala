@@ -246,7 +246,11 @@ object Bench {
         "driver_serial_ms" -> medL(steady.map(p =>
           dur(p, "triggerExecution") - dur(p, "addBatch"))))
       if (mode == "sink" && prog.nonEmpty) {
-        val nBatches = math.max(1L, prog.length.toLong)
+        // denominator = the table's OWN commit count, not recentProgress
+        // length: that ring buffer caps at ~100 entries and skips zero-row
+        // triggers, so it undercounts on long runs and the per-commit
+        // phase averages would read too high
+        val nBatches = math.max(1L, sink.table.commitPhaseCount.get())
         sink.table.commitPhaseNanos.foreach { case (k, v) =>
           bd(s"commit_${k}_ms") = v / 1e6 / nBatches
         }
@@ -306,6 +310,10 @@ object Bench {
         // for a skipped pair reports 0 with an explicit flag.
         val widths = sys.env.getOrElse("SPARK_GRAFT_BENCH_WIDTHS", "2,8,32")
           .split(",").map(_.trim.toInt).toSet
+        require(widths.nonEmpty && widths.subsetOf(Set(2, 8, 32)),
+          s"SPARK_GRAFT_BENCH_WIDTHS must be a subset of 2,8,32 (got ${widths.mkString(",")}): " +
+            "the trial loop only samples those three levels — an unsupported " +
+            "width would be silently ignored and the artifact would report zeros")
         runPipeline(widths.max, inputDir, nClips, mode, mfpt) // JIT/page-cache warmup (untimed)
         val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
         // Two N→4N pairs: 8→32 uses the whole box (sensitive to neighbor

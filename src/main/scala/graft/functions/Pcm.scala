@@ -89,26 +89,31 @@ object PcmCodec {
     out
   }
 
-  /** Decode clip bytes to float PCM; null for unsupported codec or
-    * malformed container (tolerant semantics, like the JSON decode). */
-  def decode(bytes: Array[Byte], codec: String): Array[Float] = codec match {
-    case "pcm_s16le" if bytes != null => pcm16ToFloats(bytes, 0, bytes.length)
+  /** `(offset << 32) | byteLength` of the 16-bit sample region for
+    * `codec`, or -1 for unsupported codec / malformed container. The ONE
+    * RIFF chunk walker: [[decode]] and the fused [[energy]] must agree
+    * bit-for-bit on which inputs are decodable (PcmSpec pins
+    * `energy == norm2_f(decode)` incl. null parity), so both consume this
+    * single definition of "decodable". */
+  private def sampleRange(bytes: Array[Byte], codec: String): Long = codec match {
+    case "pcm_s16le" if bytes != null => bytes.length.toLong // offset 0
     case "wav" if bytes != null && bytes.length >= 44 &&
         new String(bytes, 0, 4, "ASCII") == "RIFF" =>
       // walk RIFF chunks from offset 12 to the data chunk
       val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var pos = 12
-      var res: Array[Float] = null
+      var r = -1L
       var malformed = false
-      while (res == null && !malformed && pos + 8 <= bytes.length) {
+      while (r < 0 && !malformed && pos + 8 <= bytes.length) {
         val id = new String(bytes, pos, 4, "ASCII")
         val size = bb.getInt(pos + 4)
-        // negative size = corrupt chunk: skipping by 8+size could loop
-        // forever (or crash pcm16ToFloats); long math keeps a huge size
-        // from wrapping the bounds check and reading past the array
+        // a negative chunk size is corrupt input: advancing by 8+size
+        // could loop forever (size = -8 advances by zero); overflow-safe
+        // long math on the bound — 0x7FFFFFFF would wrap an int sum and
+        // pass the check, then read past the array
         if (size < 0) malformed = true
         else if (id == "data" && pos + 8L + size <= bytes.length)
-          res = pcm16ToFloats(bytes, pos + 8, size)
+          r = ((pos + 8).toLong << 32) | size.toLong
         else {
           // long math on the skip too: a huge non-data size would wrap
           // pos negative, pass the loop bound, and crash the id read
@@ -116,8 +121,16 @@ object PcmCodec {
           if (next > Int.MaxValue) malformed = true else pos = next.toInt
         }
       }
-      if (malformed) null else res
-    case _ => null
+      if (malformed) -1L else r
+    case _ => -1L
+  }
+
+  /** Decode clip bytes to float PCM; null for unsupported codec or
+    * malformed container (tolerant semantics, like the JSON decode). */
+  def decode(bytes: Array[Byte], codec: String): Array[Float] = {
+    val range = sampleRange(bytes, codec)
+    if (range < 0) null
+    else pcm16ToFloats(bytes, (range >> 32).toInt, (range & 0xffffffffL).toInt)
   }
 
   /** Fused decode→energy: Σ((double)sample)² over exactly the samples (and
@@ -129,35 +142,7 @@ object PcmCodec {
     * faster and width-scalable. Returns null (boxed) for undecodable
     * input, mirroring [[decode]]'s tolerant semantics. */
   def energy(bytes: Array[Byte], codec: String): java.lang.Double = {
-    // (offset << 32) | length of the 16-bit sample region, or -1
-    val range: Long = codec match {
-      case "pcm_s16le" if bytes != null => bytes.length.toLong
-      case "wav" if bytes != null && bytes.length >= 44 &&
-          new String(bytes, 0, 4, "ASCII") == "RIFF" =>
-        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        var pos = 12
-        var r = -1L
-        var malformed = false
-        while (r < 0 && !malformed && pos + 8 <= bytes.length) {
-          val id = new String(bytes, pos, 4, "ASCII")
-          val size = bb.getInt(pos + 4)
-          // a negative chunk size is corrupt input: advancing by 8+size
-          // could loop forever (size = -8 advances by zero); overflow-safe
-          // long math on the bound — 0x7FFFFFFF would wrap an int sum and
-          // pass the check, then read past the array
-          if (size < 0) malformed = true
-          else if (id == "data" && pos + 8L + size <= bytes.length)
-            r = ((pos + 8).toLong << 32) | size.toLong
-          else {
-            // long math on the skip too: a huge non-data size would wrap
-            // pos negative, pass the loop bound, and crash the id read
-            val next = pos.toLong + 8L + size + (size & 1)
-            if (next > Int.MaxValue) malformed = true else pos = next.toInt
-          }
-        }
-        if (malformed) -1L else r
-      case _ => -1L
-    }
+    val range = sampleRange(bytes, codec)
     if (range < 0) null
     else {
       val off = (range >> 32).toInt

@@ -27,10 +27,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *  3. micro-batch replay: `forward` runs under a checkpoint; a crashed
   *     query resends the un-completed batch on restart.
   *
-  * Receivers must reply to a `#ack` line with exactly the single byte
-  * `'1'` — any other byte, or bytes beyond the ack, is a protocol error
-  * that tears down the connection (a chatty reply must never pre-ack a
-  * chunk the receiver has not processed). Lines starting
+  * Receivers must reply to a `#ack` line with the single byte `'1'`,
+  * optionally newline-terminated (`"1"`, `"1\n"`, `"1\r\n"` — the
+  * terminator is consumed as part of THIS reply, so a line-oriented
+  * receiver keeps working). Any other byte, or bytes beyond that, is a
+  * protocol error that tears down the connection (a chatty reply must
+  * never pre-ack a chunk the receiver has not processed). Lines starting
   * with `#` never collide with data: every data line is a JSON object
   * (first byte `{`). Duplicates across retries are possible by design —
   * downstream dedupes (the reference exporter is likewise at-least-once).
@@ -218,7 +220,18 @@ final class ChunkSender(host: String, port: Int, maxRetries: Int,
       if (r != ChunkSender.AckByte)
         throw new IOException(
           s"protocol error: expected ack byte '${ChunkSender.AckByte.toChar}', got $r")
-      if (in.available() > 0)
+      // a line-oriented receiver's "\n" / "\r\n" terminator is PART of
+      // this reply — consume it NOW so it can never masquerade as a later
+      // chunk's ack; anything else beyond the ack is still a protocol
+      // error (the receiver-compat relief must not reopen the false-ack
+      // hole this check exists to close)
+      val extra = new StringBuilder
+      while (in.available() > 0 && extra.length <= 2) {
+        val b = in.read()
+        if (b < 0) throw new IOException("receiver closed after ack")
+        extra.append(b.toChar)
+      }
+      if (extra.nonEmpty && extra.toString != "\n" && extra.toString != "\r\n")
         throw new IOException("protocol error: receiver sent bytes beyond the single ack")
     }
 
@@ -232,8 +245,9 @@ final class ChunkSender(host: String, port: Int, maxRetries: Int,
 
 object ChunkSender {
   /** In-band chunk delimiter; data lines are JSON objects (`{`-first), so
-    * a `#`-first line is unambiguous. Receivers reply with exactly the
-    * single byte [[AckByte]] — anything else is a protocol error. */
+    * a `#`-first line is unambiguous. Receivers reply with the single
+    * byte [[AckByte]], optionally newline-terminated — anything else is a
+    * protocol error. */
   val AckMarker: String = "#ack\n"
 
   /** The one byte a receiver must reply with per acked chunk. */

@@ -664,7 +664,13 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
         val futures = paths.map(f => pool.submit(
           new java.util.concurrent.Callable[FileInfo] { def call(): FileInfo = infoOf(f) }))
         try futures.map(_.get())
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // cancel queued footer reads — a failed commit must not leave
+            // non-daemon threads draining I/O behind the caller's back
+            pool.shutdownNow()
+            throw e.getCause
+        }
       } finally pool.shutdown()
     }.sortBy((x: FileInfo) => x.path)
   }
@@ -752,6 +758,12 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     * commit separable from the distributed write that actually scales. */
   val commitPhaseNanos: scala.collection.concurrent.TrieMap[String, Long] =
     scala.collection.concurrent.TrieMap.empty
+  /** Commits instrumented into [[commitPhaseNanos]] — the denominator for
+    * a per-commit average. Counted here, NOT inferred from the streaming
+    * progress log: `recentProgress` is a ~100-entry ring buffer and skips
+    * zero-row triggers, so dividing by its length overstates the
+    * per-commit phases on long runs. */
+  val commitPhaseCount = new java.util.concurrent.atomic.AtomicLong(0L)
   private def commitPhase[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime()
     try f finally {
@@ -784,6 +796,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
 
     val dataDir = p("data", s"batch=$batchId")
     val writer = df.write.mode("overwrite")
+    commitPhaseCount.incrementAndGet()
     commitPhase("write") {
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(dataDir.toString)
@@ -944,9 +957,13 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
         if (!keptManifests.contains(m.getFileName.toString)) Files.delete(m)
       } finally listing.close()
     }
-    gcOrphansLocked(orphanTtlMs) // crashed/CAS-loser leftovers expire with retention
+    // crashed/CAS-loser leftovers expire with retention; orphan DATA files
+    // count toward the documented "deleted data files" return (metadata
+    // objects do not) — the retention pass above already removed every
+    // unreferenced file under data/, so the two passes never double-count
+    val orphanData = gcOrphansLocked(orphanTtlMs)._2
     invalidateMetaCaches() // snapshot/manifest files were deleted
-    deleted
+    deleted + orphanData
   } }
 
   /** Crash/CAS-race orphan GC that expires NO history — the maintenance
@@ -975,17 +992,22 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     * version, and resumed readers are unaffected: only unreachable
     * objects go. Returns the number of objects removed. */
   def gcOrphans(olderThanMs: Long = 0L): Int =
-    synchronized { withProcessLock("vacuum") { gcOrphansLocked(olderThanMs) } }
+    synchronized { withProcessLock("vacuum") { gcOrphansLocked(olderThanMs)._1 } }
 
-  private def gcOrphansLocked(olderThanMs: Long): Int = {
+  /** Returns (objects removed, of which .parquet data files). */
+  private def gcOrphansLocked(olderThanMs: Long): (Int, Int) = {
     val cur = version
     val now = System.currentTimeMillis()
     def oldEnough(f: Path): Boolean =
       try now - Files.getLastModifiedTime(f).toMillis >= olderThanMs
       catch { case _: java.io.IOException => false }
     var removed = 0
+    var removedData = 0
     def rm(f: Path): Unit =
-      if (oldEnough(f) && Files.deleteIfExists(f)) removed += 1
+      if (oldEnough(f) && Files.deleteIfExists(f)) {
+        removed += 1
+        if (f.getFileName.toString.endsWith(".parquet")) removedData += 1
+      }
     val snapName = "^v(\\d+)\\.json$".r
     val snapDir = p("snapshots")
     if (Files.exists(snapDir)) {
@@ -1035,7 +1057,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       } finally walk.close()
     }
     if (removed > 0) invalidateMetaCaches()
-    removed
+    (removed, removedData)
   }
 
   /** Total committed row count straight from manifests (no data scan). */

@@ -560,7 +560,9 @@ class StreamingSpec extends AnyFunSuite {
                 else {
                   pending.reverse.foreach(received.add)
                   pending = Nil
-                  os.write('1'); os.flush()
+                  // line-oriented ack ("1\n") — the sender must consume the
+                  // terminator as part of THIS reply, not a protocol error
+                  os.write("1\n".getBytes("UTF-8")); os.flush()
                   line = rd.readLine()
                 }
               } else { pending ::= line; line = rd.readLine() }
@@ -585,6 +587,57 @@ class StreamingSpec extends AnyFunSuite {
     // every committed row delivered at least once; duplicates are the
     // documented at-least-once trade (a chunk cut mid-ack is resent whole)
     assert(ids.toSet == Set(0, 1, 2), s"lost rows: got $ids")
+  }
+
+  test("egress ack protocol: '1\\r\\n' accepted, junk beyond the ack rejected") {
+    // one server, scripted replies per #ack: the CRLF-terminated ack must
+    // deliver; a reply with trailing junk ("1x") must be torn down and
+    // retried until retries exhaust (false-ack hole stays closed)
+    def serve(reply: Array[Byte]): java.net.ServerSocket = {
+      val srv = new java.net.ServerSocket(0)
+      val t = new Thread(() => {
+        try while (!srv.isClosed) {
+          val sock = srv.accept()
+          val h = new Thread(() => {
+            try {
+              val rd = new java.io.BufferedReader(
+                new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+              val os = sock.getOutputStream
+              var line = rd.readLine()
+              while (line != null) {
+                if (line == "#ack") { os.write(reply); os.flush() }
+                line = rd.readLine()
+              }
+            } catch { case _: java.io.IOException => () }
+            finally { try sock.close() catch { case _: java.io.IOException => () } }
+          })
+          h.setDaemon(true); h.start()
+        } catch { case _: java.io.IOException => () }
+      })
+      t.setDaemon(true); t.start()
+      srv
+    }
+    val good = serve("1\r\n".getBytes("UTF-8"))
+    try {
+      // retries > 0 only to absorb a (vanishingly rare) segment split that
+      // lands the "\r\n" after the best-effort available() check — the
+      // happy path must not throw at all
+      val sender = new graft.sources.ChunkSender("127.0.0.1", good.getLocalPort,
+        maxRetries = 2, baseBackoffMs = 1L, timeoutMs = 5000)
+      sender.send(Seq("""{"id":1}""")) // must not throw
+      sender.send(Seq("""{"id":2}""")) // terminator consumed: next ack clean
+      sender.close()
+    } finally good.close()
+    val bad = serve("1x".getBytes("UTF-8"))
+    try {
+      val sender = new graft.sources.ChunkSender("127.0.0.1", bad.getLocalPort,
+        maxRetries = 1, baseBackoffMs = 1L, timeoutMs = 5000)
+      val e = intercept[java.io.IOException](sender.send(Seq("""{"id":3}""")))
+      val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("protocol error"), msgs)
+      sender.close()
+    } finally bad.close()
   }
 
   test("egress HTTP: POST-per-chunk with 2xx acks, redelivery on 5xx, no loss") {
