@@ -19,7 +19,10 @@ import graft.table.{ExactlyOnceSink, GraftTable}
   *     [--job events|pipeline|windows|sessions|cep] \
   *     [--max-files-per-trigger 32] [--max-bytes-per-trigger N] \
   *     [--max-rows-per-trigger N  (graft-table inputs)] [--once] \
-  *     [--partition-by codec[,col2]]
+  *     [--partition-by codec[,col2]] \
+  *     [--bloom-for clip_id[,col2]] [--bloom-ndv 100000]
+  *       (per-file parquet bloom filters; the DML pruner consults them so
+  *        a point-predicate takedown rewrites ~one file — see BloomPrune)
   *
   * Table maintenance (only --output needed):
   *   --job compact [--target-files 32]    small-file compaction
@@ -79,7 +82,9 @@ object Main {
                           egress: Option[String] = None,
                           sets: Seq[String] = Nil,
                           mergeKeys: Seq[String] = Nil,
-                          mergeBatchId: Option[Long] = None)
+                          mergeBatchId: Option[Long] = None,
+                          bloomFor: Seq[String] = Nil,
+                          bloomNdv: Long = 100000L)
 
   val ValidJobs: Set[String] =
     Set("events", "pipeline", "windows", "sessions", "cep",
@@ -141,6 +146,12 @@ object Main {
       // aggregation/joins on these columns (low-cardinality columns only)
       case "--partition-by" :: v :: t =>
         loop(t, c.copy(partitionBy = v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
+      // per-file parquet bloom filters on the sink table: the DML pruner
+      // consults them so a point-predicate takedown on a non-clustered id
+      // rewrites ~one file instead of every file whose min/max spans it
+      case "--bloom-for" :: v :: t =>
+        loop(t, c.copy(bloomFor = v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
+      case "--bloom-ndv" :: v :: t => loop(t, c.copy(bloomNdv = v.toLong))
       case "--once" :: t => loop(t, c.copy(once = true))
       case "--continuous" :: t => loop(t, c.copy(once = false))
       case other :: _ => Left(s"unknown argument: $other")
@@ -151,7 +162,8 @@ object Main {
       try loop(args.toList, Config())
       catch { case e: NumberFormatException => Left(s"malformed number: ${e.getMessage}") }
     parsed.flatMap { c =>
-      if (MaintenanceJobs.contains(c.job)) {
+      if (c.bloomNdv <= 0) Left("--bloom-ndv must be positive")
+      else if (MaintenanceJobs.contains(c.job)) {
         if (c.output.isEmpty) Left(s"--output is required for --job ${c.job}")
         else if (c.job == "vacuum" && c.keepFrom.isEmpty)
           Left("--keep-from <version> is required for --job vacuum")
@@ -360,7 +372,8 @@ object Main {
       persistRoot = if (conf.job == "forward") None else Some(conf.output),
       jmxName = Some(s"graft-${conf.job}"))
     spark.streams.addListener(listener)
-    lazy val table = new GraftTable(conf.output)
+    lazy val table = new GraftTable(conf.output,
+      bloomFor = conf.bloomFor, bloomNdv = conf.bloomNdv)
     // NOTE: the ExactlyOnceSink is constructed only after the
     // --partition-by validation below — its constructor writes the output
     // table's LAYOUT metadata, and a rejected config must exit before the

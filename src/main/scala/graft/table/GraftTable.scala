@@ -86,8 +86,18 @@ object GraftTable {
   val metaReads = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
+/** @param bloomFor columns to equip with per-file parquet bloom filters
+  *   (written by every data-writing path, consulted by DML candidate
+  *   pruning — see [[BloomPrune]]). Persisted in the table (`BLOOM`
+  *   metadata file) on first write so maintenance jobs opened without
+  *   the parameter keep the layout; a persisted layout wins over the
+  *   constructor argument.
+  * @param bloomNdv expected distinct values per file for bloom sizing
+  *   (parquet `expected.ndv`); ~1.2 MB/file/column at 1M, scales down
+  *   linearly. */
 final class GraftTable(val root: String, checkpointInterval: Int = 64,
-                       pointer: PointerCommitter = RenamePointerCommitter) {
+                       pointer: PointerCommitter = RenamePointerCommitter,
+                       bloomFor: Seq[String] = Nil, bloomNdv: Long = 100000L) {
 
   private def p(parts: String*): Path = Paths.get(root, parts: _*)
 
@@ -218,6 +228,37 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     if (!Files.exists(p("PARTCOLS"))) Nil
     else new String(Files.readAllBytes(p("PARTCOLS")), StandardCharsets.UTF_8)
       .trim.split(",").toSeq.filter(_.nonEmpty)
+
+  /** Bloom-filter layout: `(columns, expected ndv)`. The persisted file
+    * (written by the first data write of a bloom-configured instance) is
+    * authoritative so every later writer — including a maintenance CLI
+    * that opened the table with defaults — keeps equipping rewrites with
+    * the same blooms; a rewrite that silently dropped them would turn a
+    * one-file takedown back into a full-table scan. */
+  def bloomLayout: (Seq[String], Long) =
+    if (!Files.exists(p("BLOOM"))) (bloomFor, bloomNdv)
+    else {
+      val lines = new String(Files.readAllBytes(p("BLOOM")), StandardCharsets.UTF_8)
+        .linesIterator.toSeq
+      val cols = lines.headOption.getOrElse("").trim.split(",").toSeq.filter(_.nonEmpty)
+      val ndv = lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty)
+        .flatMap(_.toLongOption).getOrElse(bloomNdv)
+      (cols, ndv)
+    }
+
+  /** Persist the declared bloom layout (no-op when unconfigured or
+    * already recorded) and return the writer with per-column parquet
+    * bloom options applied. Called by every data-writing path. */
+  private def withBloomOpts(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    if (bloomFor.nonEmpty && !Files.exists(p("BLOOM")))
+      writeAtomic(p("BLOOM"), s"${bloomFor.mkString(",")}\n$bloomNdv")
+    val (cols, ndv) = bloomLayout
+    cols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+  }
 
   // ---- metadata caches -----------------------------------------------
   // Manifests and snapshot nodes are immutable once written, so parsed
@@ -795,7 +836,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     val mergedSchema = mergeSchemas(schemaOf, deepNullable(df.schema))
 
     val dataDir = p("data", s"batch=$batchId")
-    val writer = df.write.mode("overwrite")
+    val writer = withBloomOpts(df.write.mode("overwrite"))
     commitPhaseCount.incrementAndGet()
     commitPhase("write") {
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
@@ -858,7 +899,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     // `targetFiles` then applies per partition value (repartition by the
     // partition cols first would put each value in one writer task).
     val pc = partCols.filter(src.columns.contains)
-    val rewriter = src.repartition(targetFiles).write.mode("overwrite")
+    val rewriter = withBloomOpts(src.repartition(targetFiles).write.mode("overwrite"))
     (if (pc.nonEmpty) rewriter.partitionBy(pc: _*) else rewriter)
       .parquet(dataDir.toString)
 
@@ -1216,14 +1257,27 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
         "duplicate keys in the merge source: each key must occur at most once (ambiguous update)")
       // every matched target row's key lies inside the source's per-key
       // envelope, so a file outside it provably holds no match — the
-      // exact safety direction pruning needs
-      val envelope = keys.zipWithIndex.map { case (k, i) =>
-        col(k) >= lit(a.get(3 + 2 * i)) && col(k) <= lit(a.get(4 + 2 * i))
-      }.reduce(_ && _)
-      val cond = DeletePruning.analyzedCondition(readVersion(spark, v), envelope)
+      // exact safety direction pruning needs. A SMALL source (the CDC
+      // trickle-merge: a few rows into a huge table) upgrades to exact
+      // per-key IN lists instead: a matching target row's key tuple
+      // equals some source tuple, so per-column membership conjuncts
+      // stay sound, min/max stats check each VALUE instead of the
+      // envelope hull, and [[BloomPrune]] can prove per-value absence —
+      // without this a merge of 100 scattered keys admits nearly every
+      // file of a 100 TB table.
+      val keyPred =
+        if (srcCount <= 10000L)
+          keys.map { k =>
+            col(k).isInCollection(src0.select(col(k)).collect().map(_.get(0)).toSeq)
+          }.reduce(_ && _)
+        else keys.zipWithIndex.map { case (k, i) =>
+          col(k) >= lit(a.get(3 + 2 * i)) && col(k) <= lit(a.get(4 + 2 * i))
+        }.reduce(_ && _)
+      val cond = DeletePruning.analyzedCondition(readVersion(spark, v), keyPred)
       val pruneFilters = DeletePruning.filtersFor(cond)
       val allFiles = snapshotManifests(v).flatMap(m => manifest(m).files)
-      val (cands, untouched) = allFiles.partition(f => FilePrune.keep(f, pruneFilters))
+      val (statCands, untouched0) = allFiles.partition(f => FilePrune.keep(f, pruneFilters))
+      val (cands, untouched) = bloomPruneFiles(spark, statCands, untouched0, pruneFilters)
 
       // `updated` counts MATCHED SOURCE KEYS (semi-join from the source
       // side), not matched target rows: an append-only table may hold
@@ -1248,7 +1302,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
 
       val dataDir = p("data", s"merge=v$v")
       val pc = partCols.filter(outRows.columns.contains)
-      val w = outRows.write.mode("overwrite")
+      val w = withBloomOpts(outRows.write.mode("overwrite"))
       (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(dataDir.toString)
       val written = writtenFiles(dataDir, spark.sessionState.newHadoopConf(), Some(tableSchema))
       val (live, empty) = written.partition(_.rows > 0)
@@ -1298,6 +1352,39 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     * rewrite manifest referencing untouched files by path. Returns the
     * affected-row count; provably-no-match predicates and fully-pruned
     * tables return 0 without committing a version. */
+  /** Second DML pruning stage behind min/max stats: per-file parquet
+    * bloom filters (the takedown-by-id path — stats on a non-clustered
+    * id admit nearly every file; the bloom proves non-membership).
+    * Footer reads are parallel and bounded, and only happen when the
+    * table declares bloom columns. Soundness lives in [[BloomPrune.keep]]:
+    * any doubt keeps the file. Returns (still-candidates, untouched +
+    * bloom-pruned). */
+  private def bloomPruneFiles(spark: SparkSession, statCands: Seq[FileInfo],
+                              untouched: Seq[FileInfo],
+                              pruneFilters: Seq[org.apache.spark.sql.sources.Filter])
+      : (Seq[FileInfo], Seq[FileInfo]) = {
+    val bloomSet = bloomLayout._1.toSet
+    if (bloomSet.isEmpty || statCands.isEmpty) return (statCands, untouched)
+    val hconf = spark.sessionState.newHadoopConf()
+    val keepFlags =
+      if (statCands.length <= 1)
+        statCands.map(f => BloomPrune.keep(f.path, pruneFilters, bloomSet, hconf))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, statCands.length))
+        try {
+          val fs = statCands.map(f => pool.submit(
+            new java.util.concurrent.Callable[Boolean] {
+              def call(): Boolean =
+                BloomPrune.keep(f.path, pruneFilters, bloomSet, hconf)
+            }))
+          fs.map(_.get())
+        } finally pool.shutdown()
+      }
+    val (k, d) = statCands.zip(keepFlags).partition(_._2)
+    (k.map(_._1), untouched ++ d.map(_._1))
+  }
+
   private def cowByPredicate(spark: SparkSession,
                              predicate: org.apache.spark.sql.Column,
                              tag: String, metricName: String,
@@ -1321,9 +1408,10 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       // a no-op copy
       if (DeletePruning.neverMatches(cond)) return 0L
       val pruneFilters = DeletePruning.filtersFor(cond)
-      val (cands, untouched) = allFiles.partition(f => FilePrune.keep(f, pruneFilters))
-      // stats prove no file can contain a match: nothing to do, commit
-      // no version
+      val (statCands, untouched0) = allFiles.partition(f => FilePrune.keep(f, pruneFilters))
+      val (cands, untouched) = bloomPruneFiles(spark, statCands, untouched0, pruneFilters)
+      // stats (+ blooms) prove no file can contain a match: nothing to
+      // do, commit no version
       if (cands.isEmpty) return 0L
 
       val dataDir = p("data", s"$tag=v$v")
@@ -1345,7 +1433,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
           case Right((outRows, affectedOf0)) =>
             affectedOf = affectedOf0
             val pc = partCols.filter(outRows.columns.contains)
-            val w = outRows.write.mode("overwrite")
+            val w = withBloomOpts(outRows.write.mode("overwrite"))
             (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(dataDir.toString)
             writtenFiles(dataDir, spark.sessionState.newHadoopConf(),
               tableSchema.orElse(Some(outRows.schema)))

@@ -81,6 +81,12 @@ class JobSpec extends AnyFunSuite {
     assert(Main.parseArgs(Array("--job", "forward", "--input", "i",
       "--checkpoint", "c", "--egress", "http://collector:4318/v1/logs"))
       .exists(_.egress.exists(_.startsWith("http://"))))
+    // sink bloom layout: column list parses, ndv must be positive
+    assert(Main.parseArgs(Array("--input", "i", "--output", "o",
+      "--checkpoint", "c", "--bloom-for", "clip_id, event_key", "--bloom-ndv", "50000"))
+      .exists(c => c.bloomFor == Seq("clip_id", "event_key") && c.bloomNdv == 50000L))
+    assert(Main.parseArgs(Array("--input", "i", "--output", "o",
+      "--checkpoint", "c", "--bloom-ndv", "0")).isLeft)
   }
 
   test("disabled processor is a whole-stream identity pass-through") {
