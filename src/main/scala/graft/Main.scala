@@ -258,7 +258,8 @@ object Main {
     // vacuum/describe are pure driver-side metadata work — no SparkSession
     if (conf.job == "vacuum") {
       maintenance() {
-        val table = new GraftTable(conf.output)
+        val table = new GraftTable(conf.output,
+          bloomFor = conf.bloomFor, bloomNdv = conf.bloomNdv)
         val deleted = table.vacuum(conf.keepFrom.get)
         println(s"""{"job":"vacuum","deleted_files":$deleted,"version":${table.version}}""")
       }
@@ -266,7 +267,8 @@ object Main {
     }
     if (conf.job == "describe") {
       maintenance() {
-        val table = new GraftTable(conf.output)
+        val table = new GraftTable(conf.output,
+          bloomFor = conf.bloomFor, bloomNdv = conf.bloomNdv)
         val files = table.manifestsUpTo(table.version).flatMap(table.manifestFiles)
         def arr(xs: Seq[String]) =
           xs.map(GraftTable.jsonString).mkString("[", ",", "]")
@@ -303,7 +305,8 @@ object Main {
     // (vacuum already ran Spark-free before the session was built)
     if (conf.job == "compact") {
       maintenance(cleanup = () => spark.stop()) {
-        val table = new GraftTable(conf.output)
+        val table = new GraftTable(conf.output,
+          bloomFor = conf.bloomFor, bloomNdv = conf.bloomNdv)
         val v = table.compact(spark, conf.targetFiles)
         println(s"""{"job":"compact","new_version":$v,"files":${table.dataFiles.size}}""")
       }
@@ -312,7 +315,8 @@ object Main {
     }
     if (conf.job == "delete" || conf.job == "update") {
       maintenance(cleanup = () => spark.stop()) {
-        val table = new GraftTable(conf.output)
+        val table = new GraftTable(conf.output,
+          bloomFor = conf.bloomFor, bloomNdv = conf.bloomNdv)
         // parse/analysis failures follow the "[graft] ..." + exit 2
         // contract like any other bad config, not a raw stack trace
         val pred =
@@ -349,7 +353,8 @@ object Main {
     }
     if (conf.job == "merge") {
       maintenance(cleanup = () => spark.stop()) {
-        val table = new GraftTable(conf.output)
+        val table = new GraftTable(conf.output,
+          bloomFor = conf.bloomFor, bloomNdv = conf.bloomNdv)
         val stats =
           try table.merge(spark, spark.read.parquet(conf.input),
             conf.mergeKeys, conf.mergeBatchId.get)

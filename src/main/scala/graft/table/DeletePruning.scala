@@ -80,6 +80,25 @@ private[table] object DeletePruning {
   }
 
   def toFilter(e: ce.Expression): Option[sf.Filter] = e match {
+    // a DISJUNCTION prunes only when BOTH arms translate (a matching row
+    // satisfies one arm; FilePrune keeps the file if either arm might
+    // match) — the common `id = 'a' OR id = 'b'` takedown previously
+    // translated to nothing and rewrote the whole table
+    case ce.Or(l, r) =>
+      for { lf <- toFilter(l); rf <- toFilter(r) } yield sf.Or(lf, rf)
+    // nested conjunction (inside an Or arm — top-level Ands are split by
+    // [[conjuncts]]): partial translation is sound, a matching row
+    // satisfies BOTH arms so either one alone only widens the keep set
+    case ce.And(l, r) =>
+      (toFilter(l), toFilter(r)) match {
+        case (Some(lf), Some(rf)) => Some(sf.And(lf, rf))
+        case (one, other) => one.orElse(other)
+      }
+    // `a <=> v` with v non-null is exactly `a = v` on non-null rows; the
+    // v-null case (IS NULL semantics) stays untranslated — min/max stats
+    // say nothing about nulls
+    case ce.EqualNullSafe(PA(a), FV(v)) if v != null => Some(sf.EqualNullSafe(a.name, v))
+    case ce.EqualNullSafe(FV(v), PA(a)) if v != null => Some(sf.EqualNullSafe(a.name, v))
     case ce.EqualTo(PA(a), FV(v)) => Some(sf.EqualTo(a.name, v))
     case ce.EqualTo(FV(v), PA(a)) => Some(sf.EqualTo(a.name, v))
     case ce.GreaterThan(PA(a), FV(v)) => Some(sf.GreaterThan(a.name, v))

@@ -20,7 +20,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggr
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl}
-import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
+import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -91,6 +91,7 @@ object FilePrune {
     case And(l, r) => prunable(l) || prunable(r)
     case Or(l, r) => prunable(l) && prunable(r)
     case EqualTo(_, v) => supportedValue(v)
+    case EqualNullSafe(_, v) => supportedValue(v)
     case GreaterThan(_, v) => supportedValue(v)
     case GreaterThanOrEqual(_, v) => supportedValue(v)
     case LessThan(_, v) => supportedValue(v)
@@ -171,6 +172,10 @@ object FilePrune {
     case Or(l, r) => mightMatch(stats, l) || mightMatch(stats, r)
     case EqualTo(c, v) => stats.get(c).forall(s =>
       cmp(s.typ, s.min, v).forall(_ <= 0) && cmp(s.typ, s.max, v).forall(_ >= 0))
+    // v is non-null whenever this filter reaches pruning (supportedValue
+    // gates prunable; the DML translator never emits a null) — then
+    // `c <=> v` matches exactly the rows `c = v` does
+    case EqualNullSafe(c, v) if v != null => mightMatch(stats, EqualTo(c, v))
     case GreaterThan(c, v) => stats.get(c).forall(s => cmp(s.typ, s.max, v).forall(_ > 0))
     case GreaterThanOrEqual(c, v) => stats.get(c).forall(s => cmp(s.typ, s.max, v).forall(_ >= 0))
     case LessThan(c, v) => stats.get(c).forall(s => cmp(s.typ, s.min, v).forall(_ < 0))

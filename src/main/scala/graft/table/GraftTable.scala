@@ -248,11 +248,26 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
 
   /** Persist the declared bloom layout (no-op when unconfigured or
     * already recorded) and return the writer with per-column parquet
-    * bloom options applied. Called by every data-writing path. */
-  private def withBloomOpts(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
+    * bloom options applied. Called by every data-writing path with the
+    * DataFrame being written and that write's directory-partition
+    * columns: a typo'd / case-mismatched / partition bloom column would
+    * otherwise be persisted as the authoritative layout and silently
+    * never produce a bloom (parquet matches the option name
+    * case-sensitively; partition values live in paths, not files) —
+    * every later takedown would quietly fall back to stats-only
+    * pruning. */
+  private def withBloomOpts(df: DataFrame, partitionCols: Seq[String],
+                            w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
       : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
-    if (bloomFor.nonEmpty && !Files.exists(p("BLOOM")))
+    if (bloomFor.nonEmpty && !Files.exists(p("BLOOM"))) {
+      val bad = bloomFor.filterNot(df.columns.contains) ++
+        bloomFor.filter((partitionCols ++ partCols).contains)
+      require(bad.isEmpty,
+        s"bloom column(s) ${bad.distinct.mkString(", ")} are not data columns " +
+          "of this table (names are case-sensitive; partition columns live " +
+          "in directory paths, not data files, and cannot carry blooms)")
       writeAtomic(p("BLOOM"), s"${bloomFor.mkString(",")}\n$bloomNdv")
+    }
     val (cols, ndv) = bloomLayout
     cols.foldLeft(w) { (acc, c) =>
       acc.option(s"parquet.bloom.filter.enabled#$c", "true")
@@ -836,7 +851,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     val mergedSchema = mergeSchemas(schemaOf, deepNullable(df.schema))
 
     val dataDir = p("data", s"batch=$batchId")
-    val writer = withBloomOpts(df.write.mode("overwrite"))
+    val writer = withBloomOpts(df, partitionBy, df.write.mode("overwrite"))
     commitPhaseCount.incrementAndGet()
     commitPhase("write") {
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
@@ -899,7 +914,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     // `targetFiles` then applies per partition value (repartition by the
     // partition cols first would put each value in one writer task).
     val pc = partCols.filter(src.columns.contains)
-    val rewriter = withBloomOpts(src.repartition(targetFiles).write.mode("overwrite"))
+    val rewriter = withBloomOpts(src, pc, src.repartition(targetFiles).write.mode("overwrite"))
     (if (pc.nonEmpty) rewriter.partitionBy(pc: _*) else rewriter)
       .parquet(dataDir.toString)
 
@@ -1265,12 +1280,18 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       // envelope hull, and [[BloomPrune]] can prove per-value absence —
       // without this a merge of 100 scattered keys admits nearly every
       // file of a 100 TB table.
+      // threshold bounds the DRIVER cost of the sharper mode: stats
+      // pruning compares every IN value against every file's min/max and
+      // blooms probe every value per candidate row group — 1000 values
+      // keeps that trivially cheap even at 10^5 files, and a CDC trickle
+      // rarely carries more. ONE collect fetches all key columns.
       val keyPred =
-        if (srcCount <= 10000L)
-          keys.map { k =>
-            col(k).isInCollection(src0.select(col(k)).collect().map(_.get(0)).toSeq)
+        if (srcCount <= 1000L) {
+          val tuples = src0.select(keys.map(col): _*).collect()
+          keys.zipWithIndex.map { case (k, i) =>
+            col(k).isInCollection(tuples.map(_.get(i)).toSeq)
           }.reduce(_ && _)
-        else keys.zipWithIndex.map { case (k, i) =>
+        } else keys.zipWithIndex.map { case (k, i) =>
           col(k) >= lit(a.get(3 + 2 * i)) && col(k) <= lit(a.get(4 + 2 * i))
         }.reduce(_ && _)
       val cond = DeletePruning.analyzedCondition(readVersion(spark, v), keyPred)
@@ -1302,7 +1323,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
 
       val dataDir = p("data", s"merge=v$v")
       val pc = partCols.filter(outRows.columns.contains)
-      val w = withBloomOpts(outRows.write.mode("overwrite"))
+      val w = withBloomOpts(outRows, pc, outRows.write.mode("overwrite"))
       (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(dataDir.toString)
       val written = writtenFiles(dataDir, spark.sessionState.newHadoopConf(), Some(tableSchema))
       val (live, empty) = written.partition(_.rows > 0)
@@ -1433,7 +1454,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
           case Right((outRows, affectedOf0)) =>
             affectedOf = affectedOf0
             val pc = partCols.filter(outRows.columns.contains)
-            val w = withBloomOpts(outRows.write.mode("overwrite"))
+            val w = withBloomOpts(outRows, pc, outRows.write.mode("overwrite"))
             (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(dataDir.toString)
             writtenFiles(dataDir, spark.sessionState.newHadoopConf(),
               tableSchema.orElse(Some(outRows.schema)))

@@ -90,8 +90,13 @@ class BloomSpec extends AnyFunSuite {
 
   test("compaction by a bloom-unaware instance preserves the persisted bloom layout") {
     val s = spark
+    import s.implicits._
     val root = Files.createTempDirectory("graft_bloom_cpt").toString
-    interleaved(new GraftTable(root, bloomFor = Seq("id"), bloomNdv = 1000L))
+    val t = new GraftTable(root, bloomFor = Seq("id"), bloomNdv = 1000L)
+    // EVEN ids only, split across two overlapping files — odd ids are
+    // in-range gaps only a bloom can see
+    t.commit((0 until 200).map(i => (4L * i, "a")).toDF("id", "v").coalesce(1), 0L)
+    t.commit((0 until 200).map(i => (4L * i + 2, "b")).toDF("id", "v").coalesce(1), 1L)
     // a maintenance job opens the table WITHOUT the constructor param —
     // the persisted BLOOM file must keep rewrites equipped
     val t2 = new GraftTable(root)
@@ -107,10 +112,16 @@ class BloomSpec extends AnyFunSuite {
         .find(_.getPath.toDotString == "id").get
       assert(cc.getBloomFilterOffset >= 0, "compacted file lost its id bloom")
     } finally rd.close()
-    // and the bloom still prunes after compaction produced ONE file:
-    // a fresh interleaved pair on top proves the path end-to-end
+    // the COMPACTED file's bloom must be consultable: id=41 sits inside
+    // its [0, 798] stats range but is absent (all ids even) — the delete
+    // must no-op without a rewrite or a version bump
     val v = t2.version
-    assert(t2.delete(s, col("id") === 41L) == 1L)
+    val files = t2.dataFiles.toSet
+    assert(t2.delete(s, col("id") === 41L) == 0L)
+    assert(t2.version == v && t2.dataFiles.toSet == files,
+      "stats-admitted but bloom-absent probe must not rewrite the compacted file")
+    // and a present value still deletes (the bloom is a filter, not a wall)
+    assert(t2.delete(s, col("id") === 42L) == 1L)
     assert(t2.version == v + 1)
   }
 

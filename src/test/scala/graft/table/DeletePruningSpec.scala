@@ -57,7 +57,7 @@ class DeletePruningSpec extends AnyFunSuite {
     }
     def genConjunct(): Column = {
       val c = pick(Seq("i", "l", "f", "d", "s"))
-      pick[Int](0 to 7) match {
+      pick[Int](0 to 8) match {
         case 0 => col(c) === lit(litFor(c))
         case 1 => col(c) < lit(litFor(c))
         case 2 => col(c) <= lit(litFor(c))
@@ -65,11 +65,19 @@ class DeletePruningSpec extends AnyFunSuite {
         case 4 => col(c) >= lit(litFor(c))
         case 5 => col(c).isin((1 to 1 + rnd.nextInt(3)).map(_ => litFor(c)): _*)
         case 6 => col(c).isNull
-        case _ => col(c).isNotNull
+        case 7 => col(c).isNotNull
+        case _ => col(c) <=> lit(litFor(c))
       }
     }
+    // disjunctions and nested and-inside-or exercise the Or/And/
+    // EqualNullSafe translation paths (round 5), not just leaf conjuncts
+    def genTerm(): Column = pick[Int](0 to 3) match {
+      case 0 | 1 => genConjunct()
+      case 2 => genConjunct() || genConjunct()
+      case _ => (genConjunct() && genConjunct()) || genConjunct()
+    }
     def genPredicate(): Column =
-      (1 to 1 + rnd.nextInt(2)).map(_ => genConjunct()).reduce(_ && _)
+      (1 to 1 + rnd.nextInt(2)).map(_ => genTerm()).reduce(_ && _)
 
     val preds = Seq.fill(300)(genPredicate())
     // Catalyst evaluates every predicate in ONE pass; TRUE per file is the
