@@ -143,7 +143,7 @@ object Bench {
     // collapse into however few partitions the source has — measured: ONE
     // task synthesizing the whole staged corpus), and the shuffle then
     // moves small clip rows, not multi-KB byte payloads
-    val clips = if (mode == "audio") {
+    val clips = if (mode == "audio" || mode == "features") {
       graft.functions.AudioFunctions.register(spark)
       import graft.functions.AudioFunctions._
       clips0.repartition(nFiles).withColumn("bytes",
@@ -205,6 +205,16 @@ object Bench {
           stream.filter(Pipeline.gate)
             .select(col("clip_id"), col("sr_hz"),
               pcm_energy(col("bytes"), col("codec")).as("energy"))
+        case "features" =>
+          // the full clip-quality job (fused 5-feature pass): same staged
+          // bytes and scan as "audio", ~4× the per-byte arithmetic — the
+          // production filtering workload, and the ALU-bound point on the
+          // intensity axis next to decode-only's DRAM-bound point
+          graft.functions.AudioFunctions.register(spark)
+          import graft.functions.AudioFunctions._
+          stream.filter(Pipeline.gate)
+            .select(col("clip_id"), col("sr_hz"),
+              pcm_features(col("bytes"), col("codec")).as("ft"))
         case "cep" =>
           // stateful path: shuffle on event_key + flatMapGroupsWithState;
           // measures the state-store/shuffle scaling, not just the map side
@@ -292,7 +302,7 @@ object Bench {
         // the trigger overhead. (Round-2 finding: at 20× the wide config's
         // batches were ~1.5s and the driver share capped efficiency.)
         val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE",
-          if (mode == "audio") "3" else "40").toInt
+          if (mode == "audio" || mode == "features") "3" else "40").toInt
         val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "512").toInt
         val mfpt = sys.env.getOrElse("SPARK_GRAFT_BENCH_MFPT", (nFiles / 4).toString).toInt
         val nClips = stageInput(spark, sfDir, inputDir, replicate, nFiles, mode)

@@ -258,8 +258,8 @@ object Main {
     // vacuum/describe are pure driver-side metadata work — no SparkSession
     if (conf.job == "vacuum") {
       maintenance() {
-        val table = new GraftTable(conf.output,
-          bloomFor = conf.bloomFor, bloomNdv = conf.bloomNdv)
+        // vacuum neither writes data nor consults blooms — no layout params
+        val table = new GraftTable(conf.output)
         val deleted = table.vacuum(conf.keepFrom.get)
         println(s"""{"job":"vacuum","deleted_files":$deleted,"version":${table.version}}""")
       }
@@ -267,8 +267,9 @@ object Main {
     }
     if (conf.job == "describe") {
       maintenance() {
-        val table = new GraftTable(conf.output,
-          bloomFor = conf.bloomFor, bloomNdv = conf.bloomNdv)
+        // describe is read-only — the persisted BLOOM layout (if any) is
+        // what it reports; constructor params would never be consulted
+        val table = new GraftTable(conf.output)
         val files = table.manifestsUpTo(table.version).flatMap(table.manifestFiles)
         def arr(xs: Seq[String]) =
           xs.map(GraftTable.jsonString).mkString("[", ",", "]")
@@ -276,6 +277,7 @@ object Main {
           s""""rows":${files.map(_.rows).sum},"files":${files.size},""" +
           s""""bytes":${files.map(_.bytes).sum},""" +
           s""""layout":${arr(table.layout)},"partition_by":${arr(table.partCols)},""" +
+          s""""bloom_for":${arr(table.bloomLayout._1)},"bloom_ndv":${table.bloomLayout._2},""" +
           s""""schema":${table.schemaOf.map(_.json).getOrElse("null")}}""")
       }
       return

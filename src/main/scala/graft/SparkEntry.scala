@@ -246,6 +246,27 @@ object SparkEntry {
           when(col("rms_x1000").between(350L, 358L), 1L).otherwise(0L).as("rms_ok"),
           when(col("peak_x1000").between(495L, 501L), 1L).otherwise(0L).as("peak_ok"))
     }),
+    // fused one-pass clip-quality stats (pcm_features: n/energy/peak/zcr/dc)
+    // — the training-data quality filter (silence, clipping, noisiness, DC
+    // offset) earning its flags against closed forms of the synth'd sine:
+    // zcr ≈ 2·f·n/sr, rms ≈ 0.3536 (A=0.5), peak ≈ 0.5, dc ≈ 0
+    "mm_clip_quality" -> ((s, dir) => {
+      graft.functions.AudioFunctions.register(s)
+      import graft.functions.AudioFunctions._
+      clips(s, dir).filter(Pipeline.gate)
+        .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+        .withColumn("ft", pcm_features(col("bytes"), col("codec")))
+        .select(col("clip_id"), col("sr_hz"), col("dur_ms"),
+          expr("CAST(element_at(ft, 1) AS BIGINT)").as("n_samples"),
+          when(abs(element_at(col("ft"), 4) -
+              lit(2.0) * clipFreq(col("event_id")) * element_at(col("ft"), 1) / col("sr_hz")) <= 2.0,
+            1L).otherwise(0L).as("zcr_ok"),
+          when(expr("CAST(round(1000 * sqrt(element_at(ft, 2) / element_at(ft, 1))) AS BIGINT)")
+            .between(350L, 358L), 1L).otherwise(0L).as("rms_ok"),
+          when(expr("CAST(round(1000 * element_at(ft, 3)) AS BIGINT)")
+            .between(495L, 501L), 1L).otherwise(0L).as("peak_ok"),
+          when(abs(element_at(col("ft"), 5)) <= 0.1, 1L).otherwise(0L).as("dc_ok"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -338,6 +359,15 @@ SELECT clip_id, sr_hz, dur_ms,
   ((CAST(sr_hz AS BIGINT) * dur_ms) // 1000) // (sr_hz // 10) AS n_frames_100ms,
   CAST(1 AS BIGINT) AS rms_ok,
   CAST(1 AS BIGINT) AS peak_ok
+FROM clips
+WHERE codec IN ('pcm_s16le','wav') AND transcript IS NOT NULL"""),
+    "mm_clip_quality" -> (ClipTable.oraclePrelude + """
+SELECT clip_id, sr_hz, dur_ms,
+  (CAST(sr_hz AS BIGINT) * dur_ms) // 1000 AS n_samples,
+  CAST(1 AS BIGINT) AS zcr_ok,
+  CAST(1 AS BIGINT) AS rms_ok,
+  CAST(1 AS BIGINT) AS peak_ok,
+  CAST(1 AS BIGINT) AS dc_ok
 FROM clips
 WHERE codec IN ('pcm_s16le','wav') AND transcript IS NOT NULL"""),
   )

@@ -160,6 +160,48 @@ object PcmCodec {
     }
   }
 
+  /** Fused decode→multi-feature: ONE pass over the encoded bytes computing
+    * the per-clip quality stats a training-data pipeline filters on —
+    * `[n_samples, energy Σx², peak max|x|, zero_crossings, dc_mean]` —
+    * with zero float[] materialization (same fusion rationale as
+    * [[energy]]; `features(b,c)(1) == energy(b,c)` bit-for-bit, pinned in
+    * PcmSpec). Zero crossings count strict sign flips of the <0 predicate
+    * between consecutive samples (an exact 0 sample carries the
+    * non-negative sign), so a pure sine at f Hz over d ms counts
+    * ~2·f·d/1000. Returns null for undecodable input, mirroring
+    * [[decode]]. Raises per-byte arithmetic intensity ~4× over the single
+    * Σx² — relevant at width 32, where the byte-streaming decode alone is
+    * DRAM-bound (see BENCH/BASELINE.md round 5). */
+  def features(bytes: Array[Byte], codec: String): Array[Double] = {
+    val range = sampleRange(bytes, codec)
+    if (range < 0) null
+    else {
+      val off = (range >> 32).toInt
+      val n = (range & 0xffffffffL).toInt / 2
+      var energy = 0.0
+      var peak = 0.0
+      var sum = 0.0
+      var zcr = 0L
+      var prevNeg = false
+      var i = 0
+      while (i < n) {
+        val lo = bytes(off + 2 * i) & 0xff
+        val hi = bytes(off + 2 * i + 1)
+        val v = (((hi << 8) | lo).toShort / 32768f).toDouble
+        energy += v * v
+        val a = if (v < 0) -v else v
+        if (a > peak) peak = a
+        sum += v
+        val neg = v < 0
+        if (i > 0 && neg != prevNeg) zcr += 1
+        prevNeg = neg
+        i += 1
+      }
+      Array(n.toDouble, energy, peak, zcr.toDouble,
+        if (n == 0) 0.0 else sum / n)
+    }
+  }
+
   /** Linear-interpolation resample src→dst Hz; null on non-positive rates.
     * Output i reads source position i·src/dst (exact double math), clamped
     * interpolation at the tail. */
@@ -304,6 +346,38 @@ case class PcmEnergy(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Catalyst expression: pcm_features(bytes, codec) → array<double>
+  * `[n_samples, energy, peak, zero_crossings, dc_mean]` — the fused
+  * decode→multi-feature pass ([[PcmCodec.features]]). One expression, one
+  * pass over the bytes, codegen'd: the production clip-quality job
+  * (silence/clipping/noisiness filtering) reads each encoded payload
+  * exactly once and materializes five doubles, not a float[]. */
+case class PcmFeatures(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(b: Any, c: Any): Any = {
+    val arr = PcmCodec.features(b.asInstanceOf[Array[Byte]], c.toString)
+    if (arr == null) null else ArrayData.toArrayData(arr)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c) => {
+      val arr = ctx.freshName("feats")
+      s"""
+         |final double[] $arr = graft.functions.PcmCodec.features($b, $c.toString());
+         |if ($arr == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Catalyst expression: pcm_resample(pcm, src_hz, dst_hz) → array<float>.
   * Linear-interpolation resampling — the audio analog of the multimodal
   * "resize" op. Output sample i sits at source position i·src/dst;
@@ -356,6 +430,9 @@ object AudioFunctions {
   def pcm_energy(bytes: Column, codec: Column): Column =
     org.apache.spark.sql.functions.call_function("pcm_energy", bytes, codec)
 
+  def pcm_features(bytes: Column, codec: Column): Column =
+    org.apache.spark.sql.functions.call_function("pcm_features", bytes, codec)
+
   /** round(1000·rms(pcm)) as bigint — ONE definition of the fold order so
     * every audio query stays in lockstep with the oracle-parity rule
     * (ascending left-fold double sum, rounded once). */
@@ -377,6 +454,8 @@ object AudioFunctions {
       "pcm_resample", exprs => PcmResample(exprs(0), exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pcm_energy", exprs => PcmEnergy(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pcm_features", exprs => PcmFeatures(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** The FIXTURES §1 frequency rule: 220 + (i % 16)·55 Hz. */

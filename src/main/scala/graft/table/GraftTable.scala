@@ -260,12 +260,13 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
                             w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
       : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
     if (bloomFor.nonEmpty && !Files.exists(p("BLOOM"))) {
-      val bad = bloomFor.filterNot(df.columns.contains) ++
-        bloomFor.filter((partitionCols ++ partCols).contains)
-      require(bad.isEmpty,
-        s"bloom column(s) ${bad.distinct.mkString(", ")} are not data columns " +
-          "of this table (names are case-sensitive; partition columns live " +
-          "in directory paths, not data files, and cannot carry blooms)")
+      // validate against the UNION of this batch's columns and the
+      // persisted table schema: a schema-evolving batch may legitimately
+      // omit an optional bloom column (it simply writes no bloom for it) —
+      // rejecting it here would kill a restarted ingest on a falsehood
+      requireBloomCols(
+        df.columns.toSet ++ schemaOf.map(_.fieldNames.toSet).getOrElse(Set.empty),
+        partitionCols)
       writeAtomic(p("BLOOM"), s"${bloomFor.mkString(",")}\n$bloomNdv")
     }
     val (cols, ndv) = bloomLayout
@@ -274,6 +275,30 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
         .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
     }
   }
+
+  /** Reject a would-be-persisted bloom layout naming columns that can
+    * never produce a usable bloom: unknown (case-sensitive) names, or
+    * directory-partition columns (their values live in paths, not data
+    * files). A typo'd layout would otherwise be persisted as
+    * authoritative and every later takedown would silently fall back to
+    * stats-only pruning. */
+  private def requireBloomCols(known: Set[String], partitionCols: Seq[String]): Unit = {
+    val bad = (bloomFor.filterNot(known.contains) ++
+      bloomFor.filter((partitionCols ++ partCols).contains)).distinct
+    require(bad.isEmpty,
+      s"bloom column(s) ${bad.mkString(", ")} are not data columns " +
+        "of this table (names are case-sensitive; partition columns live " +
+        "in directory paths, not data files, and cannot carry blooms)")
+  }
+
+  /** Early form of the same check for maintenance/DML entry points: a bad
+    * `--bloom-for` must fail BEFORE the candidate reads and rewrites run
+    * (update's two-pass transform can touch TBs before its write would
+    * finally throw). No-op when the layout is already persisted or the
+    * table has no schema yet. */
+  private def requireBloomColsEarly(): Unit =
+    if (bloomFor.nonEmpty && !Files.exists(p("BLOOM")))
+      schemaOf.foreach(s => requireBloomCols(s.fieldNames.toSet, Nil))
 
   // ---- metadata caches -----------------------------------------------
   // Manifests and snapshot nodes are immutable once written, so parsed
@@ -906,6 +931,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
   def compact(spark: SparkSession, targetFiles: Int = 32): Long = synchronized { withProcessLock("compact") {
     val v = version
     require(v > 0, "nothing to compact")
+    requireBloomColsEarly()
     val batchIds = committedBatchIds
     val dataDir = p("data", s"rewrite=v$v")
     val src = readVersion(spark, v)
@@ -1250,6 +1276,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     val sCols = source.columns.toSet
     require(tCols == sCols,
       s"merge source columns must match the table's; missing=${(tCols -- sCols).mkString(",")} extra=${(sCols -- tCols).mkString(",")}")
+    requireBloomColsEarly()
     // align to declared types once; persisted — the source feeds the key
     // sanity aggregate, the prune envelope, the anti-join and the write
     val src0 = source.select(tableSchema.fields.toIndexedSeq
@@ -1282,11 +1309,13 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       // file of a 100 TB table.
       // threshold bounds the DRIVER cost of the sharper mode: stats
       // pruning compares every IN value against every file's min/max and
-      // blooms probe every value per candidate row group — 1000 values
-      // keeps that trivially cheap even at 10^5 files, and a CDC trickle
-      // rarely carries more. ONE collect fetches all key columns.
+      // blooms probe every value per candidate row group — 10^4 values ×
+      // 10^5 files is ~10^9 cheap driver-side comparisons (seconds), and
+      // the alternative for a mid-size scattered-key CDC batch is the
+      // envelope hull admitting nearly every file of a 100 TB table
+      // (TB-scale rewrite I/O). ONE collect fetches all key columns.
       val keyPred =
-        if (srcCount <= 1000L) {
+        if (srcCount <= 10000L) {
           val tuples = src0.select(keys.map(col): _*).collect()
           keys.zipWithIndex.map { case (k, i) =>
             col(k).isInCollection(tuples.map(_.get(i)).toSeq)
@@ -1414,6 +1443,7 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     synchronized { withProcessLock(tag) {
       val v = version
       require(v > 0, s"nothing to $tag")
+      requireBloomColsEarly()
       val batchIds = committedBatchIds
       val allFiles = snapshotManifests(v).flatMap(m => manifest(m).files)
 

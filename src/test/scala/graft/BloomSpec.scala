@@ -167,4 +167,53 @@ class BloomSpec extends AnyFunSuite {
       if (expected == 0) assert(t.version == vBefore, "no-op must not commit")
     }
   }
+
+  test("schema evolution: a batch omitting the bloom column still persists the layout") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_bloom_evo").toString
+    // table born bloom-less; SCHEMA records (id, v)
+    new GraftTable(root).commit(Seq((1L, "a")).toDF("id", "v").coalesce(1), 0L)
+    // ingest restarted with --bloom-for id; the FIRST batch after restart
+    // legitimately omits the optional id column — validation must accept
+    // it against the table schema (the batch just writes no id bloom)
+    val t = new GraftTable(root, bloomFor = Seq("id"), bloomNdv = 100L)
+    t.commit(Seq("b").toDF("v").coalesce(1), 1L)
+    assert(Files.exists(Paths.get(root, "BLOOM")))
+    assert(t.bloomLayout == (Seq("id"), 100L))
+    // a TRULY unknown column is still rejected (case-sensitive)
+    val root2 = Files.createTempDirectory("graft_bloom_evo2").toString
+    val bad = new GraftTable(root2, bloomFor = Seq("ID"), bloomNdv = 100L)
+    val e = intercept[IllegalArgumentException] {
+      bad.commit(Seq((1L, "a")).toDF("id", "v").coalesce(1), 0L)
+    }
+    assert(e.getMessage.contains("ID"))
+    assert(!Files.exists(Paths.get(root2, "BLOOM")), "rejected layout must not persist")
+  }
+
+  test("bad --bloom-for fails DML at entry, before any candidate work") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_bloom_early").toString
+    new GraftTable(root).commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), 0L)
+    // a maintenance CLI opened the bloom-less table with a typo'd layout:
+    // delete/update/merge/compact must all fail fast, mutating nothing
+    val t = new GraftTable(root, bloomFor = Seq("idd"), bloomNdv = 10L)
+    val v = t.version
+    val files = t.dataFiles.toSet
+    assert(intercept[IllegalArgumentException] {
+      t.delete(s, col("id") === 2L)
+    }.getMessage.contains("idd"))
+    assert(intercept[IllegalArgumentException] {
+      t.update(s, col("id") === 2L, Map("v" -> lit("x")))
+    }.getMessage.contains("idd"))
+    assert(intercept[IllegalArgumentException] {
+      t.merge(s, Seq((2L, "x")).toDF("id", "v"), Seq("id"), 99L)
+    }.getMessage.contains("idd"))
+    assert(intercept[IllegalArgumentException] {
+      t.compact(s)
+    }.getMessage.contains("idd"))
+    assert(t.version == v && t.dataFiles.toSet == files,
+      "a rejected layout must not rewrite or commit anything")
+  }
 }

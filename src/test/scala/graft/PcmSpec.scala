@@ -145,6 +145,44 @@ class PcmSpec extends AnyFunSuite {
            java.lang.Double.doubleToLongBits(viaArrays))
   }
 
+  test("pcm_features: one fused pass matches decode-then-compute reference, incl. closed forms") {
+    val s = spark
+    import s.implicits._
+    AudioFunctions.register(s)
+    val df = Seq((0L, 16000, 200, "pcm_s16le"), (1L, 8000, 300, "wav"),
+        (7L, 44100, 250, "wav"), (15L, 16000, 1000, "pcm_s16le"),
+        (4L, 16000, 100, "opus-stub"))
+      .toDF("event_id", "sr_hz", "dur_ms", "codec")
+      .withColumn("bytes", AudioFunctions.pcm_synth(
+        AudioFunctions.clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+      .withColumn("ft", AudioFunctions.pcm_features(col("bytes"), col("codec")))
+      .withColumn("energy", AudioFunctions.pcm_energy(col("bytes"), col("codec")))
+    val rows = df.select("event_id", "sr_hz", "dur_ms", "ft", "energy", "bytes", "codec").collect()
+    assert(rows.count(_.isNullAt(3)) == 1, "unsupported codec must feature to null")
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val ft = r.getSeq[Double](3)
+      assert(ft.length == 5)
+      val Seq(n, energy, peak, zcr, dc) = ft
+      // n and energy: exact agreement with the independent paths
+      assert(n == PcmCodec.sampleCount(r.getInt(1), r.getInt(2)).toDouble)
+      assert(java.lang.Double.doubleToLongBits(energy) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(4)), s"energy drift: $r")
+      // peak/zcr/dc: reference recompute over the decoded floats
+      val pcm = PcmCodec.decode(r.getAs[Array[Byte]](5), r.getString(6))
+      val refPeak = pcm.map(v => math.abs(v.toDouble)).max
+      val refZcr = pcm.toSeq.map(_ < 0f).sliding(2).count { case Seq(a, b) => a != b }
+      val refDc = pcm.map(_.toDouble).sum / pcm.length
+      assert(peak == refPeak, s"peak drift: $peak vs $refPeak")
+      assert(zcr == refZcr.toDouble, s"zcr drift: $zcr vs $refZcr")
+      assert(math.abs(dc - refDc) < 1e-12, s"dc drift: $dc vs $refDc")
+      // closed forms of the amplitude-0.5 sine (what mm_clip_quality banks on)
+      val freq = 220.0 + (r.getLong(0) % 16) * 55.0
+      assert(math.abs(zcr - 2.0 * freq * n / r.getInt(1)) <= 2.0, s"zcr off closed form: $r")
+      assert(math.abs(math.sqrt(energy / n) - 0.5 / math.sqrt(2.0)) < 0.005)
+      assert(peak >= 0.495 && peak <= 0.501 && math.abs(dc) <= 0.1)
+    }
+  }
+
   test("SQL-registered functions work in spark.sql") {
     AudioFunctions.register(spark)
     val n = spark.sql(

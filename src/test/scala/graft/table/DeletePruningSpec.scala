@@ -34,7 +34,10 @@ class DeletePruningSpec extends AnyFunSuite {
       (Int.MinValue, Long.MinValue, Float.MinValue, -0.0d, "zzé"),
       (null, null, null, null, null),
       (7, 2L, 2.5f, 2.5d, "alpha"),
-      (0, 0L, 0.0f, 0.0d, "0")
+      (0, 0L, 0.0f, 0.0d, "0"),
+      // NaN row: parquet omits (or order-mangles) float stats around NaN —
+      // pruning must fall back to a conservative keep for this file
+      (3, 3L, Float.NaN, Double.NaN, "nan")
     )
     rows.zipWithIndex.foreach { case (r, i) =>
       t.commit(Seq(r).toDF("i", "l", "f", "d", "s").coalesce(1), i.toLong)
@@ -48,7 +51,8 @@ class DeletePruningSpec extends AnyFunSuite {
     // literal pools deliberately cross types vs the column
     val intishLits: Seq[Any] = Seq(1, 10L, 16777217, 16777217L, -5, 7, 0,
       16777216.0f, 16777216.0d, 1.1d, 9007199254740995L, 2147483648L, Int.MaxValue, Long.MinValue)
-    val fracLits: Seq[Any] = Seq(1.1f, 1.1d, -1.1f, 2.5d, 16777216.0f, 16777217.0d, 0.0d, -0.0d, 0, 10L)
+    val fracLits: Seq[Any] = Seq(1.1f, 1.1d, -1.1f, 2.5d, 16777216.0f, 16777217.0d, 0.0d, -0.0d, 0, 10L,
+      Float.NaN, Double.NaN)
     val strLits: Seq[Any] = Seq("alpha", "beta", "😀 emoji", "", "zzé", "nope", "0")
     def litFor(c: String): Any = c match {
       case "i" | "l" => pick(intishLits)
@@ -57,7 +61,7 @@ class DeletePruningSpec extends AnyFunSuite {
     }
     def genConjunct(): Column = {
       val c = pick(Seq("i", "l", "f", "d", "s"))
-      pick[Int](0 to 8) match {
+      pick[Int](0 to 9) match {
         case 0 => col(c) === lit(litFor(c))
         case 1 => col(c) < lit(litFor(c))
         case 2 => col(c) <= lit(litFor(c))
@@ -66,7 +70,12 @@ class DeletePruningSpec extends AnyFunSuite {
         case 5 => col(c).isin((1 to 1 + rnd.nextInt(3)).map(_ => litFor(c)): _*)
         case 6 => col(c).isNull
         case 7 => col(c).isNotNull
-        case _ => col(c) <=> lit(litFor(c))
+        case 8 => col(c) <=> lit(litFor(c))
+        // `c <=> NULL` is IS NULL semantics — min/max stats say nothing
+        // about nulls, so the translator must leave it untranslated (a
+        // future edit dropping the null guard would prune files whose
+        // only matching rows are NULLs; this case is its tripwire)
+        case _ => col(c) <=> lit(null)
       }
     }
     // disjunctions and nested and-inside-or exercise the Or/And/
