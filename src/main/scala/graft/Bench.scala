@@ -185,7 +185,7 @@ object Bench {
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .parquet(inputDir)
       val transformed = mode match {
-        case "audio" =>
+        case "audio" | "features" =>
           // realistic audio path: scan the staged clip BYTES → fused
           // decode+energy via the codegen'd PcmEnergy expression. Two
           // deliberate engineering moves vs the round-4 shape, same
@@ -200,21 +200,19 @@ object Bench {
           //    aggregate(transform(...)) HOF additionally interpreted a
           //    lambda per sample and measured the interpreter, not the
           //    engine.
+          // "features" = the full clip-quality job (fused 5-feature pass):
+          // same staged bytes, scan and gate as "audio", ~4× the per-byte
+          // arithmetic — the production filtering workload, and the
+          // ALU-bound point on the intensity axis next to decode-only's
+          // DRAM-bound point. ONE arm so the two modes can never drift
+          // into measuring different pipeline shapes.
           graft.functions.AudioFunctions.register(spark)
           import graft.functions.AudioFunctions._
+          val feature =
+            if (mode == "features") pcm_features(col("bytes"), col("codec")).as("ft")
+            else pcm_energy(col("bytes"), col("codec")).as("energy")
           stream.filter(Pipeline.gate)
-            .select(col("clip_id"), col("sr_hz"),
-              pcm_energy(col("bytes"), col("codec")).as("energy"))
-        case "features" =>
-          // the full clip-quality job (fused 5-feature pass): same staged
-          // bytes and scan as "audio", ~4× the per-byte arithmetic — the
-          // production filtering workload, and the ALU-bound point on the
-          // intensity axis next to decode-only's DRAM-bound point
-          graft.functions.AudioFunctions.register(spark)
-          import graft.functions.AudioFunctions._
-          stream.filter(Pipeline.gate)
-            .select(col("clip_id"), col("sr_hz"),
-              pcm_features(col("bytes"), col("codec")).as("ft"))
+            .select(col("clip_id"), col("sr_hz"), feature)
         case "cep" =>
           // stateful path: shuffle on event_key + flatMapGroupsWithState;
           // measures the state-store/shuffle scaling, not just the map side

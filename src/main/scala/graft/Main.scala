@@ -273,11 +273,15 @@ object Main {
         val files = table.manifestsUpTo(table.version).flatMap(table.manifestFiles)
         def arr(xs: Seq[String]) =
           xs.map(GraftTable.jsonString).mkString("[", ",", "]")
+        // a bloom-less table reports ndv as null, not the constructor
+        // default — nothing is persisted, so no concrete ndv exists
+        val (bloomCols, bloomNdv) = table.bloomLayout
+        val ndvJson = if (bloomCols.isEmpty) "null" else bloomNdv.toString
         println(s"""{"job":"describe","version":${table.version},""" +
           s""""rows":${files.map(_.rows).sum},"files":${files.size},""" +
           s""""bytes":${files.map(_.bytes).sum},""" +
           s""""layout":${arr(table.layout)},"partition_by":${arr(table.partCols)},""" +
-          s""""bloom_for":${arr(table.bloomLayout._1)},"bloom_ndv":${table.bloomLayout._2},""" +
+          s""""bloom_for":${arr(bloomCols)},"bloom_ndv":$ndvJson,""" +
           s""""schema":${table.schemaOf.map(_.json).getOrElse("null")}}""")
       }
       return

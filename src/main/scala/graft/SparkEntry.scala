@@ -243,8 +243,8 @@ object SparkEntry {
           size(col("pcm")).cast("bigint").as("n_samples"),
           // frame sampling: one 20ms frame every 100ms → frame count
           expr("CAST(size(pcm) div (sr_hz div 10) AS BIGINT)").as("n_frames_100ms"),
-          when(col("rms_x1000").between(350L, 358L), 1L).otherwise(0L).as("rms_ok"),
-          when(col("peak_x1000").between(495L, 501L), 1L).otherwise(0L).as("peak_ok"))
+          inBand(col("rms_x1000"), RmsX1000Band).as("rms_ok"),
+          inBand(col("peak_x1000"), PeakX1000Band).as("peak_ok"))
     }),
     // fused one-pass clip-quality stats (pcm_features: n/energy/peak/zcr/dc)
     // — the training-data quality filter (silence, clipping, noisiness, DC
@@ -261,10 +261,10 @@ object SparkEntry {
           when(abs(element_at(col("ft"), 4) -
               lit(2.0) * clipFreq(col("event_id")) * element_at(col("ft"), 1) / col("sr_hz")) <= 2.0,
             1L).otherwise(0L).as("zcr_ok"),
-          when(expr("CAST(round(1000 * sqrt(element_at(ft, 2) / element_at(ft, 1))) AS BIGINT)")
-            .between(350L, 358L), 1L).otherwise(0L).as("rms_ok"),
-          when(expr("CAST(round(1000 * element_at(ft, 3)) AS BIGINT)")
-            .between(495L, 501L), 1L).otherwise(0L).as("peak_ok"),
+          inBand(rmsX1000FromEnergy(element_at(col("ft"), 2), element_at(col("ft"), 1)),
+            RmsX1000Band).as("rms_ok"),
+          inBand(round(lit(1000) * element_at(col("ft"), 3)).cast("bigint"),
+            PeakX1000Band).as("peak_ok"),
           when(abs(element_at(col("ft"), 5)) <= 0.1, 1L).otherwise(0L).as("dc_ok"))
     }),
   )

@@ -443,6 +443,28 @@ object AudioFunctions {
         lit(0.0), (a, v) => a + v) / size(pcm))).cast("bigint")
   }
 
+  /** Same rms·1000 from a fused energy Σx² and sample count (identical
+    * value: [[PcmCodec.features]] accumulates the same left-fold sum). */
+  def rmsX1000FromEnergy(energy: Column, n: Column): Column = {
+    import org.apache.spark.sql.functions._
+    round(lit(1000) * sqrt(energy / n)).cast("bigint")
+  }
+
+  /** Acceptance bands of the amplitude-0.5 sine fixture, shared by every
+    * audio-quality query (rms·1000 ≈ 353.6, peak·1000 ≈ 500 after 16-bit
+    * quantization and sample-phase coverage). A tweak here moves every
+    * Spark-side flag at once and MUST keep the oracle's constant-1 flags
+    * true on the whole fixture — one definition, no drift between
+    * queries. */
+  val RmsX1000Band: (Long, Long) = (350L, 358L)
+  val PeakX1000Band: (Long, Long) = (495L, 501L)
+
+  /** 1 when `c` lies in the closed band, else 0 — the flag convention. */
+  def inBand(c: Column, band: (Long, Long)): Column = {
+    import org.apache.spark.sql.functions._
+    when(c.between(band._1, band._2), 1L).otherwise(0L)
+  }
+
   /** SQL registration so `spark.sql("... pcm_decode(bytes, codec) ...")`
     * works (SparkSessionExtensions-style function injection). */
   def register(spark: SparkSession): Unit = {
