@@ -267,6 +267,26 @@ object SparkEntry {
             PeakX1000Band).as("peak_ok"),
           when(abs(element_at(col("ft"), 5)) <= 0.1, 1L).otherwise(0L).as("dc_ok"))
     }),
+    // VAD-lite segmentation (pcm_segments: 20ms frames, rms threshold 0.1)
+    // — silence-trim/split-at-pause. The sine fixture is active end to
+    // end, so every clip is exactly ONE segment from 0; the final frame
+    // may be a sub-20ms remainder landing near a zero crossing (below
+    // threshold), so the end is asserted within one frame of the clip's
+    // integer-ms length ((n·1000) div sr) rather than exactly
+    "mm_segments" -> ((s, dir) => {
+      graft.functions.AudioFunctions.register(s)
+      import graft.functions.AudioFunctions._
+      clips(s, dir).filter(Pipeline.gate)
+        .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+        .withColumn("segs", pcm_segments(col("bytes"), col("codec"), col("sr_hz"), lit(20), lit(100)))
+        .select(col("clip_id"), col("sr_hz"), col("dur_ms"),
+          expr("size(segs) div 2").as("n_segments"),
+          element_at(col("segs"), 1).as("seg_start_ms"),
+          when(element_at(col("segs"), 2).between(
+              expr("CAST(sr_hz AS BIGINT) * dur_ms div 1000 * 1000 div sr_hz - 20"),
+              expr("CAST(sr_hz AS BIGINT) * dur_ms div 1000 * 1000 div sr_hz")),
+            1L).otherwise(0L).as("seg_end_ok"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -368,6 +388,13 @@ SELECT clip_id, sr_hz, dur_ms,
   CAST(1 AS BIGINT) AS rms_ok,
   CAST(1 AS BIGINT) AS peak_ok,
   CAST(1 AS BIGINT) AS dc_ok
+FROM clips
+WHERE codec IN ('pcm_s16le','wav') AND transcript IS NOT NULL"""),
+    "mm_segments" -> (ClipTable.oraclePrelude + """
+SELECT clip_id, sr_hz, dur_ms,
+  CAST(1 AS BIGINT) AS n_segments,
+  CAST(0 AS BIGINT) AS seg_start_ms,
+  CAST(1 AS BIGINT) AS seg_end_ok
 FROM clips
 WHERE codec IN ('pcm_s16le','wav') AND transcript IS NOT NULL"""),
   )

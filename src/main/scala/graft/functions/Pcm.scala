@@ -202,6 +202,60 @@ object PcmCodec {
     }
   }
 
+  /** Fused decode→segmentation (VAD-lite): split a clip into contiguous
+    * ACTIVE runs of non-overlapping `frameMs` frames whose frame
+    * rms·1000 ≥ `threshX1000` — the silence-trim / speech-segmentation
+    * primitive of an audio training pipeline (drop silence, split long
+    * clips at pauses). ONE pass over the encoded bytes, like [[energy]]
+    * and [[features]]: per-frame energy accumulates in registers, no
+    * float[] materialization.
+    *
+    * Returns packed `[start_ms, end_ms, start_ms, end_ms, …]`, empty when
+    * the whole clip is below threshold, null for undecodable input or
+    * non-positive srHz/frameMs. Boundary semantics (mirrored by the
+    * oracle's closed form): frame i starts at `i·frameMs`; the final
+    * (possibly partial) frame is judged on its own samples, and a
+    * segment reaching the clip's end closes at `(n·1000)/srHz` ms
+    * (integer division) — segments never overrun the real clip length. */
+  def segments(bytes: Array[Byte], codec: String, srHz: Int, frameMs: Int,
+               threshX1000: Int): Array[Long] = {
+    if (srHz <= 0 || frameMs <= 0) return null
+    val range = sampleRange(bytes, codec)
+    if (range < 0) return null
+    val off = (range >> 32).toInt
+    val n = (range & 0xffffffffL).toInt / 2
+    val frameLen = math.max(1, (srHz.toLong * frameMs / 1000L).toInt)
+    val clipEndMs = n.toLong * 1000L / srHz
+    // active iff rms ≥ thresh/1000 ⇔ energy·1e6 ≥ thresh²·len (exact in
+    // doubles for every reachable magnitude; avoids a sqrt per frame)
+    val t2 = threshX1000.toDouble * threshX1000
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var segStart = -1L // ms; -1 = not inside a segment
+    var frame = 0
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + frameLen, n)
+      var energy = 0.0
+      var j = i
+      while (j < end) {
+        val lo = bytes(off + 2 * j) & 0xff
+        val hi = bytes(off + 2 * j + 1)
+        val v = (((hi << 8) | lo).toShort / 32768f).toDouble
+        energy += v * v
+        j += 1
+      }
+      val active = energy * 1e6 >= t2 * (end - i)
+      val frameStartMs = frame.toLong * frameMs
+      val frameEndMs = if (end == n) clipEndMs else (frame + 1).toLong * frameMs
+      if (active && segStart < 0) segStart = frameStartMs
+      if (!active && segStart >= 0) { out += segStart; out += frameStartMs; segStart = -1L }
+      if (active && end == n) { out += segStart; out += frameEndMs; segStart = -1L }
+      frame += 1
+      i = end
+    }
+    out.toArray
+  }
+
   /** Linear-interpolation resample src→dst Hz; null on non-positive rates.
     * Output i reads source position i·src/dst (exact double math), clamped
     * interpolation at the tail. */
@@ -378,6 +432,58 @@ case class PcmFeatures(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Catalyst expression: pcm_segments(bytes, codec, sr_hz, frame_ms,
+  * thresh_x1000) → array<bigint> packed `[start_ms, end_ms, …]` — the
+  * fused VAD-lite segmentation ([[PcmCodec.segments]]): silence-trim /
+  * split-at-pause for a 10^12-clip corpus in one codegen'd pass over the
+  * encoded bytes. Empty array = all-silence clip; null = undecodable. */
+case class PcmSegments(children: Seq[Expression])
+    extends Expression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(BinaryType, StringType, IntegerType, IntegerType, IntegerType)
+  // same arity guard rationale as PcmSynth: ExpectsInputTypes zips and
+  // silently truncates on arity mismatch — fail analysis instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.size != 5)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pcm_segments requires 5 arguments (bytes, codec, sr_hz, frame_ms, thresh_x1000), got ${children.size}")
+    else super.checkInputDataTypes()
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    val arr = PcmCodec.segments(vs(0).asInstanceOf[Array[Byte]], vs(1).toString,
+      vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int], vs(4).asInstanceOf[Int])
+    if (arr == null) null else ArrayData.toArrayData(arr)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gens = children.map(_.genCode(ctx))
+    val anyNull = gens.map(g => g.isNull.toString).filter(_ != "false")
+    val nullGuard = if (anyNull.isEmpty) "false" else anyNull.mkString(" || ")
+    val childCode = gens.map(_.code).reduce(_ + _)
+    val arr = ctx.freshName("segs")
+    ev.copy(code =
+      childCode +
+        code"""
+           |boolean ${ev.isNull} = true;
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+           |if (!($nullGuard)) {
+           |  final long[] $arr = graft.functions.PcmCodec.segments(
+           |    ${gens(0).value}, ${gens(1).value}.toString(),
+           |    ${gens(2).value}, ${gens(3).value}, ${gens(4).value});
+           |  if ($arr != null) {
+           |    ${ev.value} =
+           |      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+           |    ${ev.isNull} = false;
+           |  }
+           |}
+         """.stripMargin)
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 /** Catalyst expression: pcm_resample(pcm, src_hz, dst_hz) → array<float>.
   * Linear-interpolation resampling — the audio analog of the multimodal
   * "resize" op. Output sample i sits at source position i·src/dst;
@@ -433,6 +539,11 @@ object AudioFunctions {
   def pcm_features(bytes: Column, codec: Column): Column =
     org.apache.spark.sql.functions.call_function("pcm_features", bytes, codec)
 
+  def pcm_segments(bytes: Column, codec: Column, srHz: Column,
+                   frameMs: Column, threshX1000: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "pcm_segments", bytes, codec, srHz, frameMs, threshX1000)
+
   /** round(1000·rms(pcm)) as bigint — ONE definition of the fold order so
     * every audio query stays in lockstep with the oracle-parity rule
     * (ascending left-fold double sum, rounded once). */
@@ -478,6 +589,8 @@ object AudioFunctions {
       "pcm_energy", exprs => PcmEnergy(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pcm_features", exprs => PcmFeatures(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pcm_segments", exprs => PcmSegments(exprs), "scala_udf")
   }
 
   /** The FIXTURES §1 frequency rule: 220 + (i % 16)·55 Hz. */

@@ -183,6 +183,48 @@ class PcmSpec extends AnyFunSuite {
     }
   }
 
+  test("pcm_segments: VAD-lite boundaries, silence handling, codegen path") {
+    val s = spark
+    import s.implicits._
+    AudioFunctions.register(s)
+    // spliced 16kHz clip: 100ms silence | 200ms sine | 60ms silence
+    // (all exact 20ms-frame multiples → crisp expected boundaries)
+    val sr = 16000
+    val sine = PcmCodec.toPcm16(PcmCodec.sine(440.0, sr, 200))
+    val sil100 = new Array[Byte](2 * sr / 10)
+    val sil60 = new Array[Byte](2 * sr * 60 / 1000)
+    val spliced = sil100 ++ sine ++ sil60
+    assert(PcmCodec.segments(spliced, "pcm_s16le", sr, 20, 100).toSeq == Seq(100L, 300L))
+    // two active runs with a silent gap → two segments
+    val gapped = sine ++ sil100 ++ sine
+    assert(PcmCodec.segments(gapped, "pcm_s16le", sr, 20, 100).toSeq ==
+      Seq(0L, 200L, 300L, 500L))
+    // all-silence → empty; absurd threshold → empty; undecodable → null
+    assert(PcmCodec.segments(sil100, "pcm_s16le", sr, 20, 100).isEmpty)
+    assert(PcmCodec.segments(spliced, "pcm_s16le", sr, 20, 2000).isEmpty)
+    assert(PcmCodec.segments(spliced, "opus-stub", sr, 20, 100) == null)
+    assert(PcmCodec.segments(spliced, "pcm_s16le", 0, 20, 100) == null)
+    // whole-clip sine through the DataFrame/codegen path (both codecs):
+    // ONE segment [0, clip end in integer ms]
+    val rows = Seq((3L, 16000, 250, "pcm_s16le"), (9L, 44100, 330, "wav"),
+        (1L, 16000, 100, "opus-stub"))
+      .toDF("event_id", "sr_hz", "dur_ms", "codec")
+      .withColumn("bytes", AudioFunctions.pcm_synth(
+        AudioFunctions.clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+      .withColumn("segs", AudioFunctions.pcm_segments(
+        col("bytes"), col("codec"), col("sr_hz"), lit(20), lit(100)))
+      .select("sr_hz", "dur_ms", "segs").collect()
+    assert(rows.count(_.isNullAt(2)) == 1, "unsupported codec must segment to null")
+    rows.filter(!_.isNullAt(2)).foreach { r =>
+      val (srH, dur) = (r.getInt(0), r.getInt(1))
+      val segs = r.getSeq[Long](2)
+      val totalMs = (srH.toLong * dur / 1000L) * 1000L / srH
+      assert(segs.length == 2 && segs.head == 0L, s"want one segment from 0: $r")
+      assert(segs(1) >= totalMs - 20 && segs(1) <= totalMs,
+        s"segment end ${segs(1)} outside [$totalMs-20, $totalMs]")
+    }
+  }
+
   test("SQL-registered functions work in spark.sql") {
     AudioFunctions.register(spark)
     val n = spark.sql(
