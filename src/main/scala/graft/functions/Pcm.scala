@@ -213,10 +213,14 @@ object PcmCodec {
     * Returns packed `[start_ms, end_ms, start_ms, end_ms, …]`, empty when
     * the whole clip is below threshold, null for undecodable input or
     * non-positive srHz/frameMs. Boundary semantics (mirrored by the
-    * oracle's closed form): frame i starts at `i·frameMs`; the final
-    * (possibly partial) frame is judged on its own samples, and a
-    * segment reaching the clip's end closes at `(n·1000)/srHz` ms
-    * (integer division) — segments never overrun the real clip length. */
+    * oracle's closed form): frames are `floor(srHz·frameMs/1000)` samples
+    * long and all timestamps derive from SAMPLE indices
+    * (`sampleIdx·1000/srHz`, integer division) — never from the frame
+    * count, so rates where `srHz·frameMs` is not a multiple of 1000
+    * (e.g. 11025 Hz) cannot drift. The final (possibly partial) frame is
+    * judged on its own samples, and a segment reaching the clip's end
+    * closes at `(n·1000)/srHz` ms — segments never overrun the real clip
+    * length and starts are always ≤ ends. */
   def segments(bytes: Array[Byte], codec: String, srHz: Int, frameMs: Int,
                threshX1000: Int): Array[Long] = {
     if (srHz <= 0 || frameMs <= 0) return null
@@ -231,7 +235,6 @@ object PcmCodec {
     val t2 = threshX1000.toDouble * threshX1000
     val out = scala.collection.mutable.ArrayBuffer[Long]()
     var segStart = -1L // ms; -1 = not inside a segment
-    var frame = 0
     var i = 0
     while (i < n) {
       val end = math.min(i + frameLen, n)
@@ -245,12 +248,11 @@ object PcmCodec {
         j += 1
       }
       val active = energy * 1e6 >= t2 * (end - i)
-      val frameStartMs = frame.toLong * frameMs
-      val frameEndMs = if (end == n) clipEndMs else (frame + 1).toLong * frameMs
+      val frameStartMs = i.toLong * 1000L / srHz
+      val frameEndMs = if (end == n) clipEndMs else end.toLong * 1000L / srHz
       if (active && segStart < 0) segStart = frameStartMs
       if (!active && segStart >= 0) { out += segStart; out += frameStartMs; segStart = -1L }
       if (active && end == n) { out += segStart; out += frameEndMs; segStart = -1L }
-      frame += 1
       i = end
     }
     out.toArray

@@ -78,6 +78,11 @@ object Metrics {
     // 1-batch/s stream would otherwise grow the old (id, batchId) set to
     // ~31M driver-side entries.
     private val maxCounted = TrieMap.empty[java.util.UUID, Long]
+    // ids whose START event carried the scoped name — a named query that
+    // fails before its FIRST progress never enters trackedIds, and without
+    // this its termination would leave the MBean (and this listener's
+    // maps, pinned through it) registered for the JVM lifetime
+    private val namedIds = TrieMap.empty[java.util.UUID, Unit]
 
     /** Cumulative counters across all completed batches so far — readable
       * at any time while the stream runs. */
@@ -103,16 +108,20 @@ object Metrics {
       ()
     }
 
-    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-    // unregister only when a query THIS listener tracked terminates. The
-    // pre-progress fallback (any termination before the first tracked
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+      if (queryName.exists(n => e.name == n)) namedIds.put(e.id, ())
+    // unregister only when a query THIS listener tracked terminates —
+    // tracked via progress (trackedIds) or via a name-matched start event
+    // (namedIds: covers a named query failing before its first progress).
+    // The pre-progress fallback (any termination before the first tracked
     // progress) applies only when no queryName scopes the listener — the
     // single-query-per-process case, e.g. a forward job with no observed
     // metrics. With queryName set, an unrelated query dying before the
     // named query's first progress must not kill the scrape (and progress
     // re-registers the MBean if it ever does).
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-      if (trackedIds.contains(e.id) || (queryName.isEmpty && trackedIds.isEmpty))
+      if (trackedIds.contains(e.id) || namedIds.contains(e.id) ||
+          (queryName.isEmpty && trackedIds.isEmpty))
         mbeanName.foreach { on =>
           val mbs = java.lang.management.ManagementFactory.getPlatformMBeanServer
           if (mbs.isRegistered(on)) mbs.unregisterMBean(on)

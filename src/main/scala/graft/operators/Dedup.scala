@@ -142,10 +142,18 @@ FROM documents GROUP BY 1"""
     * [[hotShingleCount]] when the result looks suspiciously clean. */
   val DefaultMaxShingleDf: Long = 128L
 
-  /** Max distinct hot shingles the capped path will broadcast (≈30 MB of
-    * short strings serialized — comfortable on any driver); above it the
-    * rare/hot split falls back to shuffle semi-joins. */
+  /** Max distinct hot shingles the capped path will broadcast; above it
+    * the rare/hot split falls back to shuffle semi-joins. Paired with
+    * [[BroadcastHotShingleBytes]] — rows alone say nothing about driver
+    * memory when shingle TOKENS are unbounded (URLs, base64 blobs), and
+    * an explicit broadcast() hint bypasses autoBroadcastJoinThreshold. */
   val BroadcastHotShingleLimit: Long = 1000000L
+
+  /** Max total hot-shingle STRING bytes the capped path will force-
+    * broadcast (exact, probed from the pinned DF aggregate driver-side
+    * before the plan is chosen); a corpus whose hot shingles are long
+    * tokens falls back to the shuffle plan instead of OOMing the driver. */
+  val BroadcastHotShingleBytes: Long = 32L << 20
 
   /** Number of shingles EXCLUDED from candidate generation by a DF cap —
     * the observability hook for the capped default: a nonzero count means
@@ -185,10 +193,16 @@ FROM documents GROUP BY 1"""
         // hot shingles builds the rare/hot split
         val hotList = df.filter(col("df") > cap).select("shingle")
         // existence first (isEmpty is a limit(1) probe touching at most a
-        // few cached partitions), full count only when hot shingles exist
+        // few cached partitions), full stats only when hot shingles exist
         // — the clean-corpus fast path must not pay a full
         // materialization of an aggregate its chosen plan never uses
-        val hotCount = if (hotList.isEmpty) 0L else hotList.count()
+        val (hotCount, hotBytes) =
+          if (hotList.isEmpty) (0L, 0L)
+          else {
+            val r = hotList.agg(count(lit(1)).as("n"),
+              coalesce(sum(length(col("shingle")).cast("long")), lit(0L)).as("b")).head()
+            (r.getLong(0), r.getLong(1))
+          }
         if (hotCount == 0L)
           sh.as("a")
             .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -200,12 +214,13 @@ FROM documents GROUP BY 1"""
           // When it fits comfortably in the driver, broadcast it so BOTH
           // temperature legs become broadcast joins over one scan of sh —
           // an anti join for rare, a semi join for hot — instead of two
-          // shuffle semi-joins against the full DF aggregate. The count
-          // is exact and probed driver-side from the pinned aggregate, so
-          // a pathological corpus (everything slightly above cap) falls
-          // back to the shuffle plan rather than OOMing the driver.
+          // shuffle semi-joins against the full DF aggregate. Row count
+          // AND total string bytes are exact, probed driver-side from the
+          // pinned aggregate, so a pathological corpus (everything
+          // slightly above cap, or hot shingles made of kilobyte tokens)
+          // falls back to the shuffle plan rather than OOMing the driver.
           val (rareSh, hotSh) =
-            if (hotCount <= BroadcastHotShingleLimit) {
+            if (hotCount <= BroadcastHotShingleLimit && hotBytes <= BroadcastHotShingleBytes) {
               val hotB = broadcast(hotList)
               (sh.join(hotB, Seq("shingle"), "left_anti"),
                sh.join(hotB, Seq("shingle"), "left_semi"))

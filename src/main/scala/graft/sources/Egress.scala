@@ -193,11 +193,25 @@ final class ChunkSender(host: String, port: Int, maxRetries: Int,
     Egress.retrying(maxRetries, baseBackoffMs, s"egress to $host:$port",
       onFailure = () => close()) { () =>
       if (out == null) connect()
-      // stale bytes already buffered BEFORE this chunk is sent are a
-      // previous reply's overflow arriving late — tear down now, before
-      // they can masquerade as this chunk's ack
-      if (in != null && in.available() > 0)
-        throw new IOException("protocol error: unsolicited bytes from receiver before send")
+      // stale bytes already buffered BEFORE this chunk is sent: a
+      // line-oriented receiver's reply terminator ("\n" / "\r\n") can land
+      // in a LATER TCP segment than its ack byte, so the post-ack drain
+      // below may legitimately miss it — consume up to one such
+      // terminator here (a '\n'/'\r' can never masquerade as the ack
+      // byte '1', so this cannot reopen the false-ack hole; without it a
+      // segmented spec-compliant receiver would fail EVERY chunk's first
+      // attempt into a teardown + full duplicate resend). Anything else
+      // is a previous reply's overflow — tear down now, before it can
+      // masquerade as this chunk's ack.
+      if (in != null) {
+        var stale = 0
+        while (in.available() > 0 && stale <= 2) {
+          val b = in.read()
+          if ((b != '\n'.toInt && b != '\r'.toInt) || stale == 2)
+            throw new IOException("protocol error: unsolicited bytes from receiver before send")
+          stale += 1
+        }
+      }
       lines.foreach { l =>
         out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
       }

@@ -3,7 +3,7 @@ package graft.table
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import org.apache.parquet.schema.LogicalTypeAnnotation
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
@@ -522,7 +522,16 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
       (ms.flatMap(m => manifest(m).files.map(_.path)),
         ms.exists(m => manifest(m).files.exists(_.pv.nonEmpty)))
     }
-    if (files.isEmpty) spark.emptyDataFrame
+    // zero-file versions (reachable: a delete that matched every row
+    // publishes an empty file list) must still carry the table SCHEMA —
+    // merge/delete/update resolve key/predicate columns against this
+    // frame, and a column-less emptyDataFrame turns an insert-only MERGE
+    // into an AnalysisException
+    if (files.isEmpty) schemaOf match {
+      case Some(sc) =>
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), sc)
+      case None => spark.emptyDataFrame
+    }
     else if (partitioned)
       spark.read.format(classOf[GraftSourceProvider].getName)
         .option("version", v).load(root)
@@ -737,24 +746,31 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     // erodes N→4N scaling efficiency. Parallel footer fetch is what
     // production table formats do against object stores for the same
     // reason. Determinism is preserved by the final path sort.
-    if (paths.length <= 1) paths.map(infoOf).sortBy((x: FileInfo) => x.path)
+    parallelMetaMap(paths)(infoOf).sortBy((x: FileInfo) => x.path)
+  }
+
+  /** Bounded parallel map (≤16 threads, input order preserved) for
+    * independent driver-side metadata I/O — parquet footer harvests and
+    * bloom probes share it so their error semantics cannot diverge. On
+    * the first failure queued work is CANCELLED (a failed commit must not
+    * leave non-daemon threads draining I/O behind the caller's back) and
+    * the original cause rethrown. */
+  private def parallelMetaMap[A, B: scala.reflect.ClassTag](items: Array[A])(f: A => B): Array[B] =
+    if (items.length <= 1) items.map(f)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, paths.length))
+        math.min(16, items.length))
       try {
-        val futures = paths.map(f => pool.submit(
-          new java.util.concurrent.Callable[FileInfo] { def call(): FileInfo = infoOf(f) }))
+        val futures = items.map(a => pool.submit(
+          new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
         try futures.map(_.get())
         catch {
           case e: java.util.concurrent.ExecutionException =>
-            // cancel queued footer reads — a failed commit must not leave
-            // non-daemon threads draining I/O behind the caller's back
             pool.shutdownNow()
             throw e.getCause
         }
       } finally pool.shutdown()
-    }.sortBy((x: FileInfo) => x.path)
-  }
+    }
 
   private def filesJsonOf(written: Array[FileInfo]): String =
     written.map { fi =>
@@ -1039,13 +1055,17 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
         if (!keptManifests.contains(m.getFileName.toString)) Files.delete(m)
       } finally listing.close()
     }
-    // crashed/CAS-loser leftovers expire with retention; orphan DATA files
-    // count toward the documented "deleted data files" return (metadata
-    // objects do not) — the retention pass above already removed every
-    // unreferenced file under data/, so the two passes never double-count
-    val orphanData = gcOrphansLocked(orphanTtlMs)._2
+    // crashed/CAS-loser metadata leftovers expire here too. The retention
+    // walk above already deleted every data file outside keptFiles —
+    // INCLUDING any CAS loser's batch (its files are not in the kept
+    // manifests) and counted them in `deleted` — so the orphan pass skips
+    // its own Files.walk of data/ + a second canonicalization of every
+    // kept path (walkData = false): at millions of files that second
+    // traversal would roughly double vacuum's metadata I/O for zero
+    // additional safety.
+    gcOrphansLocked(orphanTtlMs, walkData = false)
     invalidateMetaCaches() // snapshot/manifest files were deleted
-    deleted + orphanData
+    deleted
   } }
 
   /** Crash/CAS-race orphan GC that expires NO history — the maintenance
@@ -1076,9 +1096,30 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
   def gcOrphans(olderThanMs: Long = 0L): Int =
     synchronized { withProcessLock("vacuum") { gcOrphansLocked(olderThanMs)._1 } }
 
-  /** Returns (objects removed, of which .parquet data files). */
-  private def gcOrphansLocked(olderThanMs: Long): (Int, Int) = {
+  /** Returns (objects removed, of which .parquet data files). `walkData`
+    * false skips the data/ traversal — vacuum's retention pass has
+    * already swept unreferenced data files when it calls this. */
+  private def gcOrphansLocked(olderThanMs: Long, walkData: Boolean = true): (Int, Int) = {
     val cur = version
+    val snapNameProbe = "^v(\\d+)\\.json$".r
+    // A zero pointer with committed snapshot nodes on disk means the
+    // VERSION object is missing or unreadable (partial restore/rsync,
+    // transient pointer-store failure) — NOT that every node is an
+    // orphan above the pointer. Proceeding would classify the entire
+    // table (all snapshots → all manifests → all data files) as garbage
+    // and delete it. Refuse; restoring the pointer is a manual step.
+    if (cur == 0L && Files.exists(p("snapshots"))) {
+      val ls = Files.list(p("snapshots"))
+      val hasCommitted =
+        try ls.iterator().asScala.exists(f =>
+          snapNameProbe.findFirstIn(f.getFileName.toString).isDefined)
+        finally ls.close()
+      require(!hasCommitted,
+        "gcOrphans refused: VERSION pointer reads 0 but committed snapshot nodes " +
+        "exist under snapshots/ — the pointer object is missing or unreadable. " +
+        "Restore VERSION before running maintenance (a wipe of 'everything above " +
+        "version 0' would delete the whole table).")
+    }
     val now = System.currentTimeMillis()
     def oldEnough(f: Path): Boolean =
       try now - Files.getLastModifiedTime(f).toMillis >= olderThanMs
@@ -1126,17 +1167,19 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     }
     // data files no surviving manifest lists (same absolute-normalized
     // comparison as vacuum — a prefix-form mismatch here deletes live data)
-    def canon(s: String): String = Paths.get(s).toAbsolutePath.normalize.toString
-    val keptFiles = referenced.toSet
-      .filter(m => Files.exists(p("manifests", m)))
-      .flatMap((m: String) => manifestFileRows(m).map(r => canon(r._1)))
-    val dataRoot = p("data")
-    if (Files.exists(dataRoot)) {
-      val walk = Files.walk(dataRoot)
-      try walk.iterator().asScala.foreach { f =>
-        if (f.getFileName.toString.endsWith(".parquet") &&
-            !keptFiles.contains(canon(f.toString))) rm(f)
-      } finally walk.close()
+    if (walkData) {
+      def canon(s: String): String = Paths.get(s).toAbsolutePath.normalize.toString
+      val keptFiles = referenced.toSet
+        .filter(m => Files.exists(p("manifests", m)))
+        .flatMap((m: String) => manifestFileRows(m).map(r => canon(r._1)))
+      val dataRoot = p("data")
+      if (Files.exists(dataRoot)) {
+        val walk = Files.walk(dataRoot)
+        try walk.iterator().asScala.foreach { f =>
+          if (f.getFileName.toString.endsWith(".parquet") &&
+              !keptFiles.contains(canon(f.toString))) rm(f)
+        } finally walk.close()
+      }
     }
     if (removed > 0) invalidateMetaCaches()
     (removed, removedData)
@@ -1416,21 +1459,8 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     val bloomSet = bloomLayout._1.toSet
     if (bloomSet.isEmpty || statCands.isEmpty) return (statCands, untouched)
     val hconf = spark.sessionState.newHadoopConf()
-    val keepFlags =
-      if (statCands.length <= 1)
-        statCands.map(f => BloomPrune.keep(f.path, pruneFilters, bloomSet, hconf))
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(16, statCands.length))
-        try {
-          val fs = statCands.map(f => pool.submit(
-            new java.util.concurrent.Callable[Boolean] {
-              def call(): Boolean =
-                BloomPrune.keep(f.path, pruneFilters, bloomSet, hconf)
-            }))
-          fs.map(_.get())
-        } finally pool.shutdown()
-      }
+    val keepFlags = parallelMetaMap(statCands.toArray)(f =>
+      BloomPrune.keep(f.path, pruneFilters, bloomSet, hconf))
     val (k, d) = statCands.zip(keepFlags).partition(_._2)
     (k.map(_._1), untouched ++ d.map(_._1))
   }

@@ -225,6 +225,27 @@ class PcmSpec extends AnyFunSuite {
     }
   }
 
+  test("pcm_segments: no ms-axis drift at rates where srHz·frameMs % 1000 != 0") {
+    // 11025 Hz, 20ms frames: frameLen truncates to 220 samples (a true
+    // 20ms frame is 220.5), so a frame-count ms axis gains 0.045ms per
+    // frame. 10s of silence with ONLY the final partial frame active used
+    // to emit the inverted segment [10020, 10000]; timestamps must derive
+    // from sample indices instead.
+    val sr = 11025
+    val n = sr * 10 // exactly 10s → clipEndMs = 10000; 501 full frames + 30
+    val bytes = new Array[Byte](2 * n)
+    var i = 501 * 220 // loud tail: the final partial frame only
+    while (i < n) { bytes(2 * i) = 0x00; bytes(2 * i + 1) = 0x40; i += 1 } // 0.5
+    val segs = PcmCodec.segments(bytes, "pcm_s16le", sr, 20, 100)
+    assert(segs.length == 2, s"want one segment: ${segs.toSeq}")
+    assert(segs(0) <= segs(1), s"inverted segment: ${segs.toSeq}")
+    assert(segs(1) == 10000L, s"end must clamp to the real clip length: ${segs.toSeq}")
+    assert(segs(0) >= 10000L - 20L, s"start outside the final frame: ${segs.toSeq}")
+    // and a fully-active 11025 Hz clip still spans [0, clip end]
+    val sine = PcmCodec.toPcm16(PcmCodec.sine(440.0, sr, 1000))
+    assert(PcmCodec.segments(sine, "pcm_s16le", sr, 20, 100).toSeq == Seq(0L, 1000L))
+  }
+
   test("SQL-registered functions work in spark.sql") {
     AudioFunctions.register(spark)
     val n = spark.sql(

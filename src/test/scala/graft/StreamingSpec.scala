@@ -640,6 +640,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally bad.close()
   }
 
+  test("egress ack protocol: '1' and '\\n' in separate segments never fail a send") {
+    // a line-oriented receiver may flush the ack byte and its terminator
+    // separately; the late '\n' lands AFTER the post-ack drain ran. The
+    // pre-send check must consume it as the previous reply's terminator —
+    // with maxRetries = 0 any teardown/resend would surface as a throw.
+    val srv = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try while (!srv.isClosed) {
+        val sock = srv.accept()
+        val h = new Thread(() => {
+          try {
+            val rd = new java.io.BufferedReader(
+              new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+            val os = sock.getOutputStream
+            var line = rd.readLine()
+            while (line != null) {
+              if (line == "#ack") {
+                os.write('1'); os.flush()
+                Thread.sleep(30) // terminator in its own TCP segment
+                os.write('\n'); os.flush()
+              }
+              line = rd.readLine()
+            }
+          } catch { case _: java.io.IOException | _: InterruptedException => () }
+          finally { try sock.close() catch { case _: java.io.IOException => () } }
+        })
+        h.setDaemon(true); h.start()
+      } catch { case _: java.io.IOException => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val sender = new graft.sources.ChunkSender("127.0.0.1", srv.getLocalPort,
+        maxRetries = 0, baseBackoffMs = 1L, timeoutMs = 5000)
+      (1 to 3).foreach { i =>
+        sender.send(Seq(s"""{"id":$i}"""))
+        Thread.sleep(60) // let the late terminator arrive before the next send
+      }
+      sender.close()
+    } finally srv.close()
+  }
+
   test("egress HTTP: POST-per-chunk with 2xx acks, redelivery on 5xx, no loss") {
     val s = spark
     import s.implicits._
@@ -998,6 +1039,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.version == 6 && t.read(s).count() == 3)
     // a resumed reader past the race sees the new commit, not the orphan
     assert(leftover == 0, "loser parquet files survived gc")
+  }
+
+  test("gcOrphans refuses a table whose VERSION pointer is missing") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_gc_nover").toString)
+    (0 until 2).foreach(i => t.commit(Seq((i, s"v$i")).toDF("id", "v").coalesce(1), i.toLong))
+    // a partial restore / transient pointer-store failure reads version 0
+    // while committed snapshot nodes exist — gc must refuse, not classify
+    // the whole table as "orphans above version 0" and delete it
+    Files.delete(java.nio.file.Paths.get(t.root, "VERSION"))
+    val fresh = new GraftTable(t.root)
+    intercept[IllegalArgumentException](fresh.gcOrphans())
+    assert(Files.exists(java.nio.file.Paths.get(t.root, "snapshots", "v1.json")))
+    assert(Files.exists(java.nio.file.Paths.get(t.root, "snapshots", "v2.json")))
+    val survivors = {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(java.nio.file.Paths.get(t.root, "data"))
+      try w.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally w.close()
+    }
+    assert(survivors == 2, s"data files must survive the refusal: $survivors")
+    // restoring the pointer restores maintenance (and the live read)
+    Files.write(java.nio.file.Paths.get(t.root, "VERSION"), "2".getBytes("UTF-8"))
+    val restored = new GraftTable(t.root)
+    assert(restored.gcOrphans() == 0)
+    assert(restored.read(s).count() == 2)
+  }
+
+  test("merge into a zero-file version resolves keys and insert-upserts") {
+    val s = spark
+    import s.implicits._
+    val t = new GraftTable(Files.createTempDirectory("graft_merge_zero").toString)
+    t.commit(Seq((1, "a"), (2, "b")).toDF("id", "v").coalesce(1), 0L)
+    // a delete matching every row publishes a version with ZERO data files;
+    // that version must still carry the table schema so merge/delete/update
+    // can resolve key and predicate columns against it
+    assert(t.delete(s, col("id") >= 0) == 2L)
+    assert(t.read(s).count() == 0)
+    assert(t.read(s).columns.toSeq == Seq("id", "v"),
+      "zero-file version lost the table schema")
+    val st = t.merge(s, Seq((1, "A"), (9, "z")).toDF("id", "v"), Seq("id"), 50L)
+    assert(st == graft.table.MergeStats(0L, 2L))
+    assert(t.read(s).as[(Int, String)].collect().toMap == Map(1 -> "A", 9 -> "z"))
+    // delete/update share the readVersion path — they must also resolve
+    assert(t.delete(s, col("id") === 9) == 1L)
+    assert(t.read(s).as[(Int, String)].collect().toMap == Map(1 -> "A"))
   }
 
   test("steady-state triggers do bounded metadata I/O on a long-lived table") {
