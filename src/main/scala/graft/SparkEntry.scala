@@ -287,6 +287,56 @@ object SparkEntry {
               expr("CAST(sr_hz AS BIGINT) * dur_ms div 1000 * 1000 div sr_hz")),
             1L).otherwise(0L).as("seg_end_ok"))
     }),
+    // Dominant-frequency detection (pcm_dominant_freq: one-pass Goertzel
+    // scan over the 16 fixture candidates 220 + k·55 Hz) — the detected
+    // tone must equal the synth frequency EXACTLY, making this the one
+    // audio query whose oracle is a closed form over event_id rather
+    // than an acceptance band.
+    "mm_dominant_freq" -> ((s, dir) => {
+      graft.functions.AudioFunctions.register(s)
+      import graft.functions.AudioFunctions._
+      clips(s, dir).filter(Pipeline.gate)
+        .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+        .select(col("clip_id"), col("sr_hz"),
+          round(pcm_dominant_freq(col("bytes"), col("codec"), col("sr_hz"),
+            lit(220.0), lit(55.0), lit(16))).cast("bigint").as("freq_hz"))
+    }),
+    // Loudness normalization (pcm_gain to a 0.25 target RMS): per-clip
+    // gain derived from the fused energy, applied with s16 saturation,
+    // then RE-measured from the normalized bytes — the round trip must
+    // land in [248, 252]·10⁻³ and emit exactly 2 bytes/sample.
+    "mm_loudnorm" -> ((s, dir) => {
+      graft.functions.AudioFunctions.register(s)
+      import graft.functions.AudioFunctions._
+      clips(s, dir).filter(Pipeline.gate)
+        .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+        .withColumn("n", expr("CAST(sr_hz AS BIGINT) * dur_ms div 1000"))
+        .withColumn("g1000",
+          round(lit(250.0) / sqrt(pcm_energy(col("bytes"), col("codec")) / col("n"))).cast("int"))
+        .withColumn("normed", pcm_gain(col("bytes"), col("codec"), col("g1000")))
+        .select(col("clip_id"), col("sr_hz"), col("dur_ms"),
+          inBand(rmsX1000FromEnergy(pcm_energy(col("normed"), lit("pcm_s16le")), col("n")),
+            (248L, 252L)).as("norm_rms_ok"),
+          when(length(col("normed")) === col("n") * 2, 1L).otherwise(0L).as("len_ok"))
+    }),
+    // Clipping detection (pcm_clip_ratio): the pristine amplitude-0.5
+    // fixture has ZERO samples at/above 0.999 (exact integer oracle);
+    // overdriven 3× through pcm_gain it saturates, and the clipped
+    // fraction must match the sine closed form 1 − (2/π)·asin(0.666) ≈
+    // 0.537 within the acceptance band (PcmSpec sweeps the whole
+    // fixture grid to prove the band holds everywhere).
+    "mm_clip_detect" -> ((s, dir) => {
+      graft.functions.AudioFunctions.register(s)
+      import graft.functions.AudioFunctions._
+      clips(s, dir).filter(Pipeline.gate)
+        .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+        .select(col("clip_id"),
+          round(pcm_clip_ratio(col("bytes"), col("codec"), lit(999)) * 1000000)
+            .cast("bigint").as("orig_clip_ppm"),
+          when(pcm_clip_ratio(pcm_gain(col("bytes"), col("codec"), lit(3000)),
+              lit("pcm_s16le"), lit(999)).between(0.50, 0.575), 1L)
+            .otherwise(0L).as("hot_clip_flag"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -395,6 +445,23 @@ SELECT clip_id, sr_hz, dur_ms,
   CAST(1 AS BIGINT) AS n_segments,
   CAST(0 AS BIGINT) AS seg_start_ms,
   CAST(1 AS BIGINT) AS seg_end_ok
+FROM clips
+WHERE codec IN ('pcm_s16le','wav') AND transcript IS NOT NULL"""),
+    "mm_dominant_freq" -> (ClipTable.oraclePrelude + """
+SELECT clip_id, sr_hz,
+  CAST(220 + (event_id % 16) * 55 AS BIGINT) AS freq_hz
+FROM clips
+WHERE codec IN ('pcm_s16le','wav') AND transcript IS NOT NULL"""),
+    "mm_loudnorm" -> (ClipTable.oraclePrelude + """
+SELECT clip_id, sr_hz, dur_ms,
+  CAST(1 AS BIGINT) AS norm_rms_ok,
+  CAST(1 AS BIGINT) AS len_ok
+FROM clips
+WHERE codec IN ('pcm_s16le','wav') AND transcript IS NOT NULL"""),
+    "mm_clip_detect" -> (ClipTable.oraclePrelude + """
+SELECT clip_id,
+  CAST(0 AS BIGINT) AS orig_clip_ppm,
+  CAST(1 AS BIGINT) AS hot_clip_flag
 FROM clips
 WHERE codec IN ('pcm_s16le','wav') AND transcript IS NOT NULL"""),
   )

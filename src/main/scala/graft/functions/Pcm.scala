@@ -258,6 +258,115 @@ object PcmCodec {
     out.toArray
   }
 
+  /** Fused decode→gain: scale every sample by `gainX1000/1000` with s16
+    * SATURATION (the loudness-normalization primitive: a training corpus
+    * is levelled to one target RMS before feature extraction). One pass
+    * over the encoded bytes; output is RAW `pcm_s16le` bytes regardless
+    * of the input container (normalization re-encodes; a WAV wrapper
+    * would carry a stale data-size header anyway). Per-sample math is
+    * `clamp(round(v·g), ±32767/-32768)` in doubles — deterministic and
+    * mirrored by the oracle's closed forms. Null for undecodable input
+    * or negative gain; gain 0 is valid (silence). */
+  def gain(bytes: Array[Byte], codec: String, gainX1000: Int): Array[Byte] = {
+    if (gainX1000 < 0) return null
+    val range = sampleRange(bytes, codec)
+    if (range < 0) return null
+    val off = (range >> 32).toInt
+    val n = (range & 0xffffffffL).toInt / 2
+    val out = new Array[Byte](n * 2)
+    val g = gainX1000.toDouble / 1000.0
+    var i = 0
+    while (i < n) {
+      val lo = bytes(off + 2 * i) & 0xff
+      val hi = bytes(off + 2 * i + 1)
+      val v = ((hi << 8) | lo).toShort
+      val scaled = math.round(v.toDouble * g)
+      val s = (if (scaled > 32767L) 32767L else if (scaled < -32768L) -32768L else scaled).toShort
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Fused decode→clipping-detector: the fraction of samples whose
+    * normalized magnitude `|s|/32768` is ≥ `threshX1000/1000` — the
+    * standard distortion screen (a clip recorded too hot saturates and
+    * is useless as training data). One pass, no float[] materialization.
+    * Returns 0.0 for an empty clip, null for undecodable input or a
+    * non-positive threshold. */
+  def clipRatio(bytes: Array[Byte], codec: String, threshX1000: Int): java.lang.Double = {
+    if (threshX1000 <= 0) return null
+    val range = sampleRange(bytes, codec)
+    if (range < 0) return null
+    val off = (range >> 32).toInt
+    val n = (range & 0xffffffffL).toInt / 2
+    if (n == 0) return 0.0
+    // integer-exact comparison: |s|/32768 ≥ t/1000 ⇔ |s|·1000 ≥ t·32768
+    val rhs = threshX1000.toLong * 32768L
+    var hits = 0L
+    var i = 0
+    while (i < n) {
+      val lo = bytes(off + 2 * i) & 0xff
+      val hi = bytes(off + 2 * i + 1)
+      val v = ((hi << 8) | lo).toShort.toLong
+      val a = if (v < 0) -v else v
+      if (a * 1000L >= rhs) hits += 1
+      i += 1
+    }
+    hits.toDouble / n
+  }
+
+  /** Fused decode→Goertzel scan: dominant frequency among `nCands`
+    * candidates `f0 + k·df` (k = 0…nCands-1) by single-bin DFT power —
+    * the cheap pitch/tone detector (content screening, fixture
+    * validation) that needs no FFT library. All nCands filters advance
+    * in ONE pass over the encoded bytes (2 mul + 2 add per filter per
+    * sample — deliberately ALU-dense, the regime where width scaling is
+    * near-linear; see BENCH/BASELINE.md). Returns the winning candidate
+    * frequency; null for undecodable/empty input or a non-positive
+    * rate/candidate count (cap 64 keeps the state in L1). */
+  def dominantFreq(bytes: Array[Byte], codec: String, srHz: Int,
+                   f0: Double, df: Double, nCands: Int): java.lang.Double = {
+    if (srHz <= 0 || nCands <= 0 || nCands > 64) return null
+    val range = sampleRange(bytes, codec)
+    if (range < 0) return null
+    val off = (range >> 32).toInt
+    val n = (range & 0xffffffffL).toInt / 2
+    if (n == 0) return null
+    val coef = new Array[Double](nCands)
+    var k = 0
+    while (k < nCands) {
+      coef(k) = 2.0 * math.cos(2.0 * math.Pi * (f0 + k * df) / srHz)
+      k += 1
+    }
+    val s1 = new Array[Double](nCands)
+    val s2 = new Array[Double](nCands)
+    var i = 0
+    while (i < n) {
+      val lo = bytes(off + 2 * i) & 0xff
+      val hi = bytes(off + 2 * i + 1)
+      val v = (((hi << 8) | lo).toShort / 32768f).toDouble
+      k = 0
+      while (k < nCands) {
+        val s0 = v + coef(k) * s1(k) - s2(k)
+        s2(k) = s1(k)
+        s1(k) = s0
+        k += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var bestP = java.lang.Double.NEGATIVE_INFINITY
+    k = 0
+    while (k < nCands) {
+      val p = s1(k) * s1(k) + s2(k) * s2(k) - coef(k) * s1(k) * s2(k)
+      if (p > bestP) { bestP = p; best = k }
+      k += 1
+    }
+    f0 + best * df
+  }
+
   /** Linear-interpolation resample src→dst Hz; null on non-positive rates.
     * Output i reads source position i·src/dst (exact double math), clamped
     * interpolation at the tail. */
@@ -486,6 +595,102 @@ case class PcmSegments(children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/** Catalyst expression: pcm_gain(bytes, codec, gain_x1000) → binary —
+  * fused decode→scale with s16 saturation ([[PcmCodec.gain]]); output is
+  * raw `pcm_s16le`. The loudness-normalization primitive, codegen'd. */
+case class PcmGain(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(b: Any, c: Any, g: Any): Any =
+    PcmCodec.gain(b.asInstanceOf[Array[Byte]], c.toString, g.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c, g) => {
+      s"""
+         |${ev.value} = graft.functions.PcmCodec.gain($b, $c.toString(), $g);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** Catalyst expression: pcm_clip_ratio(bytes, codec, thresh_x1000) →
+  * double — fused decode→distortion screen ([[PcmCodec.clipRatio]]):
+  * fraction of samples at/above the normalized magnitude threshold. */
+case class PcmClipRatio(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType, IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(b: Any, c: Any, t: Any): Any =
+    PcmCodec.clipRatio(b.asInstanceOf[Array[Byte]], c.toString, t.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c, t) => {
+      val r = ctx.freshName("clipRatio")
+      s"""
+         |final java.lang.Double $r = graft.functions.PcmCodec.clipRatio($b, $c.toString(), $t);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.doubleValue();
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** Catalyst expression: pcm_dominant_freq(bytes, codec, sr_hz, f0, df,
+  * n_cands) → double — fused decode→Goertzel candidate scan
+  * ([[PcmCodec.dominantFreq]]): the winning candidate frequency. */
+case class PcmDominantFreq(children: Seq[Expression])
+    extends Expression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(BinaryType, StringType, IntegerType, DoubleType, DoubleType, IntegerType)
+  // same arity guard rationale as PcmSynth: ExpectsInputTypes zips and
+  // silently truncates on arity mismatch — fail analysis instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.size != 6)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pcm_dominant_freq requires 6 arguments (bytes, codec, sr_hz, f0, df, n_cands), got ${children.size}")
+    else super.checkInputDataTypes()
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    PcmCodec.dominantFreq(vs(0).asInstanceOf[Array[Byte]], vs(1).toString,
+      vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Double],
+      vs(4).asInstanceOf[Double], vs(5).asInstanceOf[Int])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gens = children.map(_.genCode(ctx))
+    val anyNull = gens.map(g => g.isNull.toString).filter(_ != "false")
+    val nullGuard = if (anyNull.isEmpty) "false" else anyNull.mkString(" || ")
+    val childCode = gens.map(_.code).reduce(_ + _)
+    val f = ctx.freshName("domFreq")
+    ev.copy(code =
+      childCode +
+        code"""
+           |boolean ${ev.isNull} = true;
+           |double ${ev.value} = 0.0;
+           |if (!($nullGuard)) {
+           |  final java.lang.Double $f = graft.functions.PcmCodec.dominantFreq(
+           |    ${gens(0).value}, ${gens(1).value}.toString(), ${gens(2).value},
+           |    ${gens(3).value}, ${gens(4).value}, ${gens(5).value});
+           |  if ($f != null) {
+           |    ${ev.value} = $f.doubleValue();
+           |    ${ev.isNull} = false;
+           |  }
+           |}
+         """.stripMargin)
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 /** Catalyst expression: pcm_resample(pcm, src_hz, dst_hz) → array<float>.
   * Linear-interpolation resampling — the audio analog of the multimodal
   * "resize" op. Output sample i sits at source position i·src/dst;
@@ -546,6 +751,17 @@ object AudioFunctions {
     org.apache.spark.sql.functions.call_function(
       "pcm_segments", bytes, codec, srHz, frameMs, threshX1000)
 
+  def pcm_gain(bytes: Column, codec: Column, gainX1000: Column): Column =
+    org.apache.spark.sql.functions.call_function("pcm_gain", bytes, codec, gainX1000)
+
+  def pcm_clip_ratio(bytes: Column, codec: Column, threshX1000: Column): Column =
+    org.apache.spark.sql.functions.call_function("pcm_clip_ratio", bytes, codec, threshX1000)
+
+  def pcm_dominant_freq(bytes: Column, codec: Column, srHz: Column,
+                        f0: Column, df: Column, nCands: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "pcm_dominant_freq", bytes, codec, srHz, f0, df, nCands)
+
   /** round(1000·rms(pcm)) as bigint — ONE definition of the fold order so
     * every audio query stays in lockstep with the oracle-parity rule
     * (ascending left-fold double sum, rounded once). */
@@ -593,6 +809,12 @@ object AudioFunctions {
       "pcm_features", exprs => PcmFeatures(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pcm_segments", exprs => PcmSegments(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pcm_gain", exprs => PcmGain(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pcm_clip_ratio", exprs => PcmClipRatio(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pcm_dominant_freq", exprs => PcmDominantFreq(exprs), "scala_udf")
   }
 
   /** The FIXTURES §1 frequency rule: 220 + (i % 16)·55 Hz. */

@@ -246,6 +246,83 @@ class PcmSpec extends AnyFunSuite {
     assert(PcmCodec.segments(sine, "pcm_s16le", sr, 20, 100).toSeq == Seq(0L, 1000L))
   }
 
+  test("pcm_gain / pcm_clip_ratio / pcm_dominant_freq: fixture-grid sweep pins the oracle bands") {
+    // event_id mod 80 covers every reachable (sr, dur, freq) combination
+    // of the fixture rules (sr/dur keyed by eid%10, freq by eid%16) — the
+    // mm_dominant_freq/mm_loudnorm/mm_clip_detect oracles assert constant
+    // flags over the WHOLE table, so the bands must hold on the whole
+    // grid, not a sample
+    (0L until 80L).foreach { eid =>
+      val freq = 220.0 + (eid % 16) * 55.0
+      val sr = (eid % 10) match {
+        case 7 => 8000; case 8 => 44100; case 9 => 48000; case _ => 16000
+      }
+      val dur = (200 + (eid % 10) * 100).toInt
+      val bytes = PcmCodec.synth(freq, sr, dur, "pcm_s16le")
+      // dominant frequency: exact winner among the 16 candidates
+      assert(PcmCodec.dominantFreq(bytes, "pcm_s16le", sr, 220.0, 55.0, 16)
+        .doubleValue == freq, s"eid=$eid sr=$sr dur=$dur freq=$freq")
+      // the pristine amplitude-0.5 fixture never clips at 0.999
+      assert(PcmCodec.clipRatio(bytes, "pcm_s16le", 999).doubleValue == 0.0)
+      // overdriven 3×: clipped fraction ≈ 1 − (2/π)·asin(0.666) ≈ 0.537
+      val hot = PcmCodec.gain(bytes, "pcm_s16le", 3000)
+      val r = PcmCodec.clipRatio(hot, "pcm_s16le", 999).doubleValue
+      assert(r >= 0.50 && r <= 0.575, s"eid=$eid sr=$sr dur=$dur ratio=$r")
+      // loudness-normalization round trip: re-measured rms lands at 250±2
+      val n = PcmCodec.sampleCount(sr, dur)
+      val e = PcmCodec.energy(bytes, "pcm_s16le").doubleValue
+      val g = math.round(250.0 / math.sqrt(e / n)).toInt
+      val normed = PcmCodec.gain(bytes, "pcm_s16le", g)
+      assert(normed.length == 2 * n)
+      val rms1000 = math.round(1000.0 * math.sqrt(
+        PcmCodec.energy(normed, "pcm_s16le").doubleValue / n))
+      assert(rms1000 >= 248 && rms1000 <= 252, s"eid=$eid rms1000=$rms1000")
+    }
+    // tolerant-null contracts + container stripping + saturation
+    assert(PcmCodec.gain(Array[Byte](1, 2), "opus-stub", 1000) == null)
+    assert(PcmCodec.gain(Array[Byte](1, 2), "pcm_s16le", -1) == null)
+    assert(PcmCodec.clipRatio(Array.emptyByteArray, "pcm_s16le", 999).doubleValue == 0.0)
+    assert(PcmCodec.clipRatio(Array[Byte](1, 2), "pcm_s16le", 0) == null)
+    assert(PcmCodec.dominantFreq(Array[Byte](1, 2), "pcm_s16le", 0, 220.0, 55.0, 16) == null)
+    assert(PcmCodec.dominantFreq(Array.emptyByteArray, "pcm_s16le", 16000, 220.0, 55.0, 16) == null)
+    val wav = PcmCodec.synth(440.0, 16000, 100, "wav")
+    val stripped = PcmCodec.gain(wav, "wav", 3000)
+    assert(stripped.length == 2 * PcmCodec.sampleCount(16000, 100),
+      "wav container must strip to raw pcm")
+    val peak = PcmCodec.features(stripped, "pcm_s16le")(2)
+    assert(peak >= 0.999, s"3x overdrive must saturate at full scale: $peak")
+  }
+
+  test("pcm_gain / pcm_clip_ratio / pcm_dominant_freq through a DataFrame plan (codegen)") {
+    val s = spark
+    import s.implicits._
+    AudioFunctions.register(s)
+    import graft.functions.AudioFunctions._
+    val rows = Seq((3L, 16000, 250, "pcm_s16le"), (9L, 44100, 330, "wav"),
+        (1L, 16000, 100, "opus-stub"))
+      .toDF("event_id", "sr_hz", "dur_ms", "codec")
+      .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+      .select(col("event_id"), col("sr_hz"), col("dur_ms"),
+        pcm_dominant_freq(col("bytes"), col("codec"), col("sr_hz"),
+          lit(220.0), lit(55.0), lit(16)).as("f"),
+        pcm_clip_ratio(col("bytes"), col("codec"), lit(999)).as("r"),
+        pcm_gain(col("bytes"), col("codec"), lit(3000)).as("hot"))
+      .collect()
+    assert(rows.count(_.isNullAt(3)) == 1, "unsupported codec must null through all three")
+    rows.filter(!_.isNullAt(3)).foreach { row =>
+      val expected = 220.0 + (row.getLong(0) % 16) * 55.0
+      assert(row.getDouble(3) == expected, s"codegen dominant freq drift: $row")
+      assert(row.getDouble(4) == 0.0)
+      val n = PcmCodec.sampleCount(row.getInt(1), row.getInt(2))
+      assert(row.getAs[Array[Byte]](5).length == 2 * n)
+    }
+    // SQL registration: the functions resolve by name
+    val viaSql = s.sql(
+      "SELECT pcm_clip_ratio(pcm_gain(pcm_synth(440.0, 16000, 100, 'pcm_s16le'), 'pcm_s16le', 3000), 'pcm_s16le', 999) AS r")
+      .head().getDouble(0)
+    assert(viaSql >= 0.50 && viaSql <= 0.575, s"sql path ratio: $viaSql")
+  }
+
   test("SQL-registered functions work in spark.sql") {
     AudioFunctions.register(spark)
     val n = spark.sql(
