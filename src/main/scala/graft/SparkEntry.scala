@@ -337,6 +337,28 @@ object SparkEntry {
               lit("pcm_s16le"), lit(999)).between(0.50, 0.575), 1L)
             .otherwise(0L).as("hot_clip_flag"))
     }),
+    // AUDIO near-dup: cluster clips by a GAIN-INVARIANT spectral
+    // fingerprint (dominant tone via Goertzel × sample rate × duration) —
+    // the audio analog of content dedup. Each clip is first re-levelled
+    // with a per-clip gain (750…2250, keyed off event_id) so byte-level
+    // identity is destroyed; the fingerprint must still recover the
+    // closed-form clustering (exact dedup over these bytes would find
+    // NOTHING — PcmSpec pins that the gained bytes differ). ONE
+    // map-side-combinable shuffle on an 80-value key; output size is
+    // scale-independent.
+    "dedup_audio_fp" -> ((s, dir) => {
+      graft.functions.AudioFunctions.register(s)
+      import graft.functions.AudioFunctions._
+      clips(s, dir).filter(Pipeline.gate)
+        .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+        .withColumn("relevelled",
+          pcm_gain(col("bytes"), col("codec"), (lit(750) + (col("event_id") % 7) * 250).cast("int")))
+        .withColumn("fp_hz",
+          round(pcm_dominant_freq(col("relevelled"), lit("pcm_s16le"), col("sr_hz"),
+            lit(220.0), lit(55.0), lit(16))).cast("bigint"))
+        .groupBy(col("fp_hz"), col("sr_hz"), col("dur_ms"))
+        .agg(count(lit(1)).as("n_clips"), min(col("clip_id")).as("canonical_clip"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -464,5 +486,12 @@ SELECT clip_id,
   CAST(1 AS BIGINT) AS hot_clip_flag
 FROM clips
 WHERE codec IN ('pcm_s16le','wav') AND transcript IS NOT NULL"""),
+    "dedup_audio_fp" -> (ClipTable.oraclePrelude + """
+SELECT CAST(220 + (event_id % 16) * 55 AS BIGINT) AS fp_hz,
+  sr_hz, dur_ms,
+  COUNT(*) AS n_clips, MIN(clip_id) AS canonical_clip
+FROM clips
+WHERE codec IN ('pcm_s16le','wav') AND transcript IS NOT NULL
+GROUP BY 1, 2, 3"""),
   )
 }

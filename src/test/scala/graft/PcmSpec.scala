@@ -293,6 +293,30 @@ class PcmSpec extends AnyFunSuite {
     assert(peak >= 0.999, s"3x overdrive must saturate at full scale: $peak")
   }
 
+  test("gain-invariant fingerprint: re-levelled bytes differ, dominant tone survives") {
+    // the dedup_audio_fp contract: two clips of the SAME recording
+    // (freq, sr, dur) re-levelled with different per-clip gains must (a)
+    // no longer be byte-identical — exact/content dedup would miss them —
+    // and (b) still fingerprint to the same dominant tone. The worst case
+    // for (b) is the highest gain (2250 → amplitude 1.125, mild
+    // saturation whose odd harmonics land ON other candidates: 3·220 =
+    // 660 = 220 + 8·55) — the fundamental must still win.
+    val sr = 16000
+    (0 until 16).foreach { k =>
+      val freq = 220.0 + k * 55.0
+      val bytes = PcmCodec.synth(freq, sr, 400, "pcm_s16le")
+      val gains = Seq(750, 1000, 1250, 1500, 1750, 2000, 2250)
+      val relevelled = gains.map(g => PcmCodec.gain(bytes, "pcm_s16le", g))
+      relevelled.combinations(2).foreach { case Seq(a, b) =>
+        assert(!java.util.Arrays.equals(a, b), s"gains must break byte identity (k=$k)")
+      }
+      relevelled.foreach { r =>
+        assert(PcmCodec.dominantFreq(r, "pcm_s16le", sr, 220.0, 55.0, 16)
+          .doubleValue == freq, s"fingerprint lost under re-levelling (k=$k)")
+      }
+    }
+  }
+
   test("pcm_gain / pcm_clip_ratio / pcm_dominant_freq through a DataFrame plan (codegen)") {
     val s = spark
     import s.implicits._
