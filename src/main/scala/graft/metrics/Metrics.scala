@@ -76,7 +76,11 @@ object Metrics {
     // re-emitting its last batch) has batchId ≤ max and is skipped. One
     // Long per query instead of one entry per micro-batch — a year-long
     // 1-batch/s stream would otherwise grow the old (id, batchId) set to
-    // ~31M driver-side entries.
+    // ~31M driver-side entries. Entries deliberately SURVIVE termination:
+    // a restart from the same checkpoint keeps the same stable id and
+    // re-emits its last batch, and pruning here would double-count it —
+    // growth is one Long per DISTINCT query id, i.e. per fresh-checkpoint
+    // restart, not per batch.
     private val maxCounted = TrieMap.empty[java.util.UUID, Long]
     // ids whose START event carried the scoped name — a named query that
     // fails before its FIRST progress never enters trackedIds, and without
@@ -119,13 +123,21 @@ object Metrics {
     // metrics. With queryName set, an unrelated query dying before the
     // named query's first progress must not kill the scrape (and progress
     // re-registers the MBean if it ever does).
-    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-      if (trackedIds.contains(e.id) || namedIds.contains(e.id) ||
-          (queryName.isEmpty && trackedIds.isEmpty))
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+      val mine = trackedIds.contains(e.id) || namedIds.contains(e.id)
+      if (mine || (queryName.isEmpty && trackedIds.isEmpty))
         mbeanName.foreach { on =>
           val mbs = java.lang.management.ManagementFactory.getPlatformMBeanServer
           if (mbs.isRegistered(on)) mbs.unregisterMBean(on)
         }
+      // drop the terminated id from the liveness maps (a restart re-adds
+      // via its start/progress events) so fresh-checkpoint restart loops
+      // don't grow them for the JVM lifetime; maxCounted is NOT pruned —
+      // see its comment (same-checkpoint restarts would double-count)
+      trackedIds.remove(e.id)
+      namedIds.remove(e.id)
+      ()
+    }
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       if (queryName.exists(n => e.progress.name != n)) return
       val all = e.progress.observedMetrics.asScala

@@ -199,8 +199,10 @@ FROM documents GROUP BY 1"""
         val (hotCount, hotBytes) =
           if (hotList.isEmpty) (0L, 0L)
           else {
+            // octet_length, not length: the budget is serialized BYTES and
+            // multi-byte text (CJK, emoji) undercounts 2-3× by characters
             val r = hotList.agg(count(lit(1)).as("n"),
-              coalesce(sum(length(col("shingle")).cast("long")), lit(0L)).as("b")).head()
+              coalesce(sum(octet_length(col("shingle")).cast("long")), lit(0L)).as("b")).head()
             (r.getLong(0), r.getLong(1))
           }
         if (hotCount == 0L)

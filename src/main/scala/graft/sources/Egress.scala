@@ -229,7 +229,17 @@ final class ChunkSender(host: String, port: Int, maxRetries: Int,
       // fully police. Worst case for a violating receiver is a duplicate
       // resend (at-least-once holds); a receiver replying with extra
       // acks voids its own delivery guarantee.
-      val r = in.read()
+      // leading '\r'/'\n' can ONLY be the previous reply's terminator
+      // arriving later than the pre-send drain saw (e.g. "\r" and "\n" in
+      // separate segments straddling it) — skip up to one terminator pair
+      // before the ack byte. Unambiguous: a terminator byte is never the
+      // ack byte, so this cannot convert a wrong reply into a false ack.
+      var r = in.read()
+      var skippedEol = 0
+      while ((r == '\n'.toInt || r == '\r'.toInt) && skippedEol < 2) {
+        r = in.read()
+        skippedEol += 1
+      }
       if (r < 0) throw new IOException("receiver closed before ack")
       if (r != ChunkSender.AckByte)
         throw new IOException(

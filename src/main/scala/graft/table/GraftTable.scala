@@ -183,11 +183,30 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     * collide exactly when two writers race one version, and a blind
     * overwrite would let the CAS loser clobber the winner's published
     * node BEFORE its own swap is refused. */
-  private def publishVersioned(target: Path, content: String): Unit =
+  private def publishVersioned(target: Path, content: String): Unit = {
+    // materialize an explicit ZERO pointer before the table's very first
+    // metadata object: a writer crashing between this publish and its
+    // first pointer swap then leaves VERSION=0 beside the orphan node —
+    // a state gcOrphans cleans automatically — instead of "no pointer at
+    // all", which is indistinguishable from a partial restore that LOST
+    // the pointer and must be refused (see gcOrphansLocked). ATOMIC_MOVE
+    // without REPLACE: a concurrent creator winning the race is fine.
+    val vf = p("VERSION")
+    if (!Files.exists(vf)) {
+      Files.createDirectories(vf.getParent)
+      val tmp = vf.resolveSibling("VERSION.zero.tmp")
+      Files.write(tmp, "0".getBytes(StandardCharsets.UTF_8))
+      try Files.move(tmp, vf, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp); ()
+      }
+    }
     if (!pointer.putVersioned(target, content))
       throw new IllegalStateException(
         s"refusing to overwrite $target: a competing writer may be " +
           "mid-publish (the table is single-writer)")
+  }
 
   /** Publish snapshot v+1 through the pointer protocol; a refused swap
     * means another writer advanced the table since `v` was read — this
@@ -1101,24 +1120,27 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     * already swept unreferenced data files when it calls this. */
   private def gcOrphansLocked(olderThanMs: Long, walkData: Boolean = true): (Int, Int) = {
     val cur = version
-    val snapNameProbe = "^v(\\d+)\\.json$".r
-    // A zero pointer with committed snapshot nodes on disk means the
-    // VERSION object is missing or unreadable (partial restore/rsync,
-    // transient pointer-store failure) — NOT that every node is an
-    // orphan above the pointer. Proceeding would classify the entire
+    val snapName = "^v(\\d+)\\.json$".r // shared by the guard + removal passes
+    // A MISSING pointer with snapshot nodes on disk means the VERSION
+    // object was lost (partial restore/rsync) — NOT that every node is
+    // an orphan above version 0. Proceeding would classify the entire
     // table (all snapshots → all manifests → all data files) as garbage
-    // and delete it. Refuse; restoring the pointer is a manual step.
-    if (cur == 0L && Files.exists(p("snapshots"))) {
+    // and delete it. Refuse; restoring the pointer is a manual step. The
+    // legitimate zero state — a writer that published its FIRST node and
+    // crashed before the first swap — is distinguishable because
+    // publishVersioned materializes an explicit VERSION=0 marker before
+    // any metadata object exists; that state cleans normally below.
+    if (cur == 0L && !Files.exists(p("VERSION")) && Files.exists(p("snapshots"))) {
       val ls = Files.list(p("snapshots"))
-      val hasCommitted =
+      val hasNodes =
         try ls.iterator().asScala.exists(f =>
-          snapNameProbe.findFirstIn(f.getFileName.toString).isDefined)
+          snapName.findFirstIn(f.getFileName.toString).isDefined)
         finally ls.close()
-      require(!hasCommitted,
-        "gcOrphans refused: VERSION pointer reads 0 but committed snapshot nodes " +
-        "exist under snapshots/ — the pointer object is missing or unreadable. " +
-        "Restore VERSION before running maintenance (a wipe of 'everything above " +
-        "version 0' would delete the whole table).")
+      require(!hasNodes,
+        "gcOrphans refused: the VERSION pointer object is missing but snapshot " +
+        "nodes exist under snapshots/ (partial restore?). Restore VERSION before " +
+        "running maintenance (a wipe of 'everything above version 0' would delete " +
+        "the whole table).")
     }
     val now = System.currentTimeMillis()
     def oldEnough(f: Path): Boolean =
@@ -1131,7 +1153,6 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
         removed += 1
         if (f.getFileName.toString.endsWith(".parquet")) removedData += 1
       }
-    val snapName = "^v(\\d+)\\.json$".r
     val snapDir = p("snapshots")
     if (Files.exists(snapDir)) {
       val ls = Files.list(snapDir)

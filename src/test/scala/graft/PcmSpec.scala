@@ -315,6 +315,25 @@ class PcmSpec extends AnyFunSuite {
           .doubleValue == freq, s"fingerprint lost under re-levelling (k=$k)")
       }
     }
+    // the dedup_audio_fp oracle is EXACT over the whole table, so the
+    // invariance must hold on the whole reachable grid (eid%80 covers
+    // every (sr, dur, freq) combination incl. the wav container), not
+    // just one (sr, dur). Sweep the extreme gains — 750 (quietest) and
+    // 2250 (most saturated, whose odd harmonics land on candidates).
+    (0L until 80L).foreach { eid =>
+      val freq = 220.0 + (eid % 16) * 55.0
+      val srG = (eid % 10) match {
+        case 7 => 8000; case 8 => 44100; case 9 => 48000; case _ => 16000
+      }
+      val dur = (200 + (eid % 10) * 100).toInt
+      val codec = if (eid % 2 == 0) "pcm_s16le" else "wav"
+      val bytes = PcmCodec.synth(freq, srG, dur, codec)
+      Seq(750, 2250).foreach { g =>
+        val r = PcmCodec.gain(bytes, codec, g) // strips the wav container
+        assert(PcmCodec.dominantFreq(r, "pcm_s16le", srG, 220.0, 55.0, 16)
+          .doubleValue == freq, s"grid fingerprint flip: eid=$eid g=$g sr=$srG dur=$dur")
+      }
+    }
   }
 
   test("pcm_gain / pcm_clip_ratio / pcm_dominant_freq through a DataFrame plan (codegen)") {

@@ -640,11 +640,12 @@ class StreamingSpec extends AnyFunSuite {
     } finally bad.close()
   }
 
-  test("egress ack protocol: '1' and '\\n' in separate segments never fail a send") {
-    // a line-oriented receiver may flush the ack byte and its terminator
-    // separately; the late '\n' lands AFTER the post-ack drain ran. The
-    // pre-send check must consume it as the previous reply's terminator —
-    // with maxRetries = 0 any teardown/resend would surface as a throw.
+  test("egress ack protocol: '1', '\\r', '\\n' in separate segments never fail a send") {
+    // a line-oriented receiver may flush the ack byte and each terminator
+    // byte separately; late terminator bytes land AFTER the post-ack
+    // drain (and possibly straddle the pre-send drain). The ack read must
+    // skip leading terminator leftovers — with maxRetries = 0 any
+    // teardown/resend would surface as a throw.
     val srv = new java.net.ServerSocket(0)
     val t = new Thread(() => {
       try while (!srv.isClosed) {
@@ -658,7 +659,9 @@ class StreamingSpec extends AnyFunSuite {
             while (line != null) {
               if (line == "#ack") {
                 os.write('1'); os.flush()
-                Thread.sleep(30) // terminator in its own TCP segment
+                Thread.sleep(25) // each terminator byte in its own segment
+                os.write('\r'); os.flush()
+                Thread.sleep(25)
                 os.write('\n'); os.flush()
               }
               line = rd.readLine()
@@ -675,7 +678,7 @@ class StreamingSpec extends AnyFunSuite {
         maxRetries = 0, baseBackoffMs = 1L, timeoutMs = 5000)
       (1 to 3).foreach { i =>
         sender.send(Seq(s"""{"id":$i}"""))
-        Thread.sleep(60) // let the late terminator arrive before the next send
+        if (i == 2) Thread.sleep(70) // let both late bytes arrive pre-send once
       }
       sender.close()
     } finally srv.close()
@@ -1039,6 +1042,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.version == 6 && t.read(s).count() == 3)
     // a resumed reader past the race sees the new commit, not the orphan
     assert(leftover == 0, "loser parquet files survived gc")
+  }
+
+  test("gcOrphans cleans a crashed FIRST commit (VERSION=0 marker present)") {
+    val s = spark
+    import s.implicits._
+    // a writer publishing its first node materializes VERSION=0 before
+    // any metadata object, then crashes before the first swap — gc must
+    // recognize the explicit zero marker as "fresh table with an orphan",
+    // clean it, and unblock the v1 slot (vs the MISSING-pointer state,
+    // which is refused — see the sibling test)
+    val root = Files.createTempDirectory("graft_gc_crash1").toString
+    val t = new GraftTable(root)
+    // construct the exact on-disk state publishVersioned leaves behind:
+    // the explicit zero marker, the v1 node, its manifest, the batch data
+    val rootP = java.nio.file.Paths.get(root)
+    Files.write(rootP.resolve("VERSION"), "0".getBytes("UTF-8"))
+    Files.createDirectories(rootP.resolve("snapshots"))
+    Files.createDirectories(rootP.resolve("manifests"))
+    val dataDir = rootP.resolve("data").resolve("batch=9")
+    Files.createDirectories(dataDir)
+    Files.write(dataDir.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    Files.write(rootP.resolve("manifests").resolve("manifest-9.json"),
+      """{"batchId":9,"rows":1,"files":[{"path":"data/batch=9/part-0.parquet","rows":1,"bytes":3,"stats":{}}],"metrics":{}}"""
+        .getBytes("UTF-8"))
+    Files.write(rootP.resolve("snapshots").resolve("v1.json"),
+      """{"version":1,"parent":0,"added":["manifest-9.json"]}""".getBytes("UTF-8"))
+    assert(t.version == 0)
+    val removed = t.gcOrphans()
+    assert(removed >= 3, s"expected orphan node + manifest + data removed: $removed")
+    assert(!Files.exists(rootP.resolve("snapshots").resolve("v1.json")))
+    assert(!Files.exists(rootP.resolve("manifests").resolve("manifest-9.json")))
+    assert(!Files.exists(dataDir.resolve("part-0.parquet")))
+    // the table is usable: a fresh first commit succeeds into the freed slot
+    assert(t.commit(Seq((2, "b")).toDF("id", "v").coalesce(1), 1L))
+    assert(t.version == 1 && t.read(s).count() == 1)
   }
 
   test("gcOrphans refuses a table whose VERSION pointer is missing") {
