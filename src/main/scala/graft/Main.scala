@@ -16,7 +16,7 @@ import graft.table.{ExactlyOnceSink, GraftTable}
   *   spark-submit --class graft.Main <jar> \
   *     --input <clipTableDir> --output <graftTableRoot> \
   *     --checkpoint <dir> [--status-filter fail,error] \
-  *     [--job events|pipeline|windows|sessions|cep] \
+  *     [--job events|pipeline|windows|sessions|cep|audioprep] \
   *     [--max-files-per-trigger 32] [--max-bytes-per-trigger N] \
   *     [--max-rows-per-trigger N  (graft-table inputs)] [--once] \
   *     [--partition-by codec[,col2]] \
@@ -87,7 +87,7 @@ object Main {
                           bloomNdv: Long = 100000L)
 
   val ValidJobs: Set[String] =
-    Set("events", "pipeline", "windows", "sessions", "cep",
+    Set("events", "pipeline", "windows", "sessions", "cep", "audioprep",
       "compact", "vacuum", "describe", "delete", "update", "merge", "forward")
 
   /** Table-maintenance jobs: operate on --output only (no stream —
@@ -434,6 +434,11 @@ object Main {
         // (single scan, conditional explode; no join, no aggregation)
         case "pipeline" =>
           graft.operators.Pipeline.fullPipeline(spark, clips, conf.statusFilter)
+        // training-corpus audio ingest: gate → normalize → features/tone/
+        // segments, stateless map-only (append-mode streamable like the
+        // pipeline job; no watermark needed)
+        case "audioprep" =>
+          StreamingJobs.audioPrep(spark, clips)
         case job =>
           val events = Metrics.observeEvents(
             StreamingJobs.eventsObserved(spark, clips, conf.statusFilter))

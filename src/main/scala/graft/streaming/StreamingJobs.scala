@@ -77,6 +77,36 @@ object StreamingJobs {
         col("event_time"), col("active_from"))
   }
 
+  /** Streaming audio preparation — the training-corpus ingest shape for
+    * the audio tier, end to end in ONE stateless map-only stage (no
+    * shuffle, no state: scales linearly with executors and streams in
+    * append mode by construction): gate → synthesize/decode → derive the
+    * per-clip gain from the fused energy → loudness-normalize to a 0.25
+    * target RMS ([[graft.functions.PcmCodec.gain]], s16 saturation) →
+    * fused quality features + VAD segment count + Goertzel dominant tone
+    * over the NORMALIZED bytes. Emits the prepared clip rows (normalized
+    * audio + quality metadata) a downstream trainer consumes; pair with
+    * the exactly-once sink for the full ingest pipeline. */
+  def audioPrep(spark: SparkSession, clipStream: DataFrame): DataFrame = {
+    graft.functions.AudioFunctions.register(spark)
+    import graft.functions.AudioFunctions._
+    clipStream.filter(Pipeline.gate)
+      .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+      .withColumn("n", expr("CAST(sr_hz AS BIGINT) * dur_ms div 1000"))
+      .withColumn("g1000",
+        round(lit(250.0) / sqrt(pcm_energy(col("bytes"), col("codec")) / col("n"))).cast("int"))
+      .withColumn("norm_bytes", pcm_gain(col("bytes"), col("codec"), col("g1000")))
+      .withColumn("ft", pcm_features(col("norm_bytes"), lit("pcm_s16le")))
+      .select(col("clip_id"), col("tenant_id"), col("sr_hz"), col("dur_ms"),
+        col("event_time"), col("norm_bytes"),
+        rmsX1000FromEnergy(element_at(col("ft"), 2), element_at(col("ft"), 1)).as("rms_x1000"),
+        round(element_at(col("ft"), 3) * 1000).cast("bigint").as("peak_x1000"),
+        round(pcm_dominant_freq(col("norm_bytes"), lit("pcm_s16le"), col("sr_hz"),
+          lit(220.0), lit(55.0), lit(16))).cast("bigint").as("tone_hz"),
+        expr("size(pcm_segments(norm_bytes, 'pcm_s16le', sr_hz, 20, 100)) div 2")
+          .cast("bigint").as("n_segments"))
+  }
+
   /** Streaming exact deduplication over a content key — the training-data
     * dedup operator in its streaming form: state holds one key per seen
     * clip within the watermark horizon, so duplicates arriving across

@@ -25,6 +25,8 @@ class JobSpec extends AnyFunSuite {
     assert(Main.parseArgs(Array("--input", "i", "--output", "o",
       "--checkpoint", "c", "--job", "cep")).exists(_.job == "cep"))
     assert(Main.parseArgs(Array("--input", "i", "--output", "o",
+      "--checkpoint", "c", "--job", "audioprep")).exists(_.job == "audioprep"))
+    assert(Main.parseArgs(Array("--input", "i", "--output", "o",
       "--checkpoint", "c", "--disabled")).exists(!_.enabled))
     assert(Main.parseArgs(Array("--input", "i", "--output", "o",
       "--checkpoint", "c", "--lineage")).exists(_.lineage))

@@ -1358,6 +1358,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming audioPrep: map-only ingest matches batch; tone/rms/segments correct") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Clip]
+    val rows = Seq(
+      Clip("clip-t0-s0-0000000001", 16000, 400, "pcm_s16le", "access denied",
+        ts("2025-09-19 10:00:00"), 7L, 1L),
+      Clip("clip-t0-s0-0000000002", 44100, 1000, "wav", "login ok",
+        ts("2025-09-19 10:01:00"), 7L, 8L),
+      Clip("clip-t0-s0-0000000003", 16000, 500, "opus-stub", "x",
+        ts("2025-09-19 10:02:00"), 7L, 4L), // gate-failed: dropped
+      Clip("clip-t0-s0-0000000004", 16000, 500, "wav", null,
+        ts("2025-09-19 10:03:00"), 7L, 5L)) // null transcript: dropped
+    // stateless map-only ⇒ append-mode streamable with no watermark
+    val q = StreamingJobs.audioPrep(s, ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("aprep_out").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      def show(r: org.apache.spark.sql.Row): Seq[String] = r.toSeq.map {
+        case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+        case x => String.valueOf(x)
+      }
+      val streamed = s.sql("SELECT * FROM aprep_out").collect()
+        .map(show).sortBy(_.mkString("|"))
+      val batch = StreamingJobs.audioPrep(s, rows.toDF()).collect()
+        .map(show).sortBy(_.mkString("|"))
+      assert(streamed.length == 2, s"gate must drop 2 of 4: ${streamed.length}")
+      assert(streamed.toSeq == batch.toSeq)
+      // the prepared rows carry correct audio metadata: normalized rms at
+      // the 0.25 target, detected tone = the synth closed form, one
+      // active segment over the whole clip, 2 bytes/sample
+      s.sql("SELECT * FROM aprep_out").collect().foreach { r =>
+        val eid = if (r.getString(0).endsWith("1")) 1L else 8L
+        assert(r.getAs[Long]("rms_x1000") >= 248 && r.getAs[Long]("rms_x1000") <= 252, r.toString)
+        assert(r.getAs[Long]("tone_hz") == 220L + (eid % 16) * 55L, r.toString)
+        assert(r.getAs[Long]("n_segments") == 1L, r.toString)
+        val n = r.getInt(2).toLong * r.getInt(3) / 1000L
+        assert(r.getAs[Array[Byte]]("norm_bytes").length == 2 * n, r.toString)
+      }
+    } finally q.stop()
+  }
+
   test("push WAL recovery truncates a trailing partial line; seek index serves offsets") {
     val s = spark
     val wal = Files.createTempDirectory("push_wal_rec").toString
