@@ -357,7 +357,12 @@ object SparkEntry {
           round(pcm_dominant_freq(col("relevelled"), lit("pcm_s16le"), col("sr_hz"),
             lit(220.0), lit(55.0), lit(16))).cast("bigint"))
         .groupBy(col("fp_hz"), col("sr_hz"), col("dur_ms"))
-        .agg(count(lit(1)).as("n_clips"), min(col("clip_id")).as("canonical_clip"))
+        // canonical representative = min EVENT id, not min clip_id: a
+        // string min forces SortAggregate (string agg buffers are not
+        // hash-aggregable), paying a per-partition sort of every input
+        // row; the numeric min keeps the whole partial/final pipeline in
+        // HashAggregate (PlanSpec-pinned)
+        .agg(count(lit(1)).as("n_clips"), min(col("event_id")).as("canonical_event_id"))
     }),
   )
 
@@ -489,7 +494,7 @@ WHERE codec IN ('pcm_s16le','wav') AND transcript IS NOT NULL"""),
     "dedup_audio_fp" -> (ClipTable.oraclePrelude + """
 SELECT CAST(220 + (event_id % 16) * 55 AS BIGINT) AS fp_hz,
   sr_hz, dur_ms,
-  COUNT(*) AS n_clips, MIN(clip_id) AS canonical_clip
+  COUNT(*) AS n_clips, MIN(event_id) AS canonical_event_id
 FROM clips
 WHERE codec IN ('pcm_s16le','wav') AND transcript IS NOT NULL
 GROUP BY 1, 2, 3"""),

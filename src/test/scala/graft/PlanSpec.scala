@@ -53,6 +53,24 @@ class PlanSpec extends AnyFunSuite {
       s"missing map-side partial aggregate:\n$plan")
   }
 
+  test("dedup_audio_fp: single scan, partial+final agg, ONE narrow-key exchange") {
+    val plan = planOf(graft.SparkEntry.queries("dedup_audio_fp")(spark, sf))
+    assert("FileScan|BatchScan".r.findAllIn(plan).size == 1,
+      s"expected exactly one source scan:\n$plan")
+    assert(!plan.contains("Join"), s"fingerprint clustering must not join:\n$plan")
+    // map-side combine collapses each partition to ≤80 fingerprint rows
+    // BEFORE the one hash exchange — the shape that survives 10^12 clips.
+    // HashAggregate specifically: min(event_id) keeps the buffer
+    // fixed-width (a min(clip_id) string buffer would silently fall back
+    // to SortAggregate and pay a per-partition sort of every input row)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"missing map-side partial HASH aggregate:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"string agg buffer degraded the plan to SortAggregate:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one exchange on the fingerprint key:\n$plan")
+  }
+
   test("tumbling window: partial+final hash aggregation") {
     val plan = planOf(Windows.tumbling(Pipeline.events(spark, ClipTable.clips(spark, sf))))
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
