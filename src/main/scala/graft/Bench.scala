@@ -282,7 +282,14 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) Seq.empty[(String, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // NOT df.count(): Catalyst prunes every column a count doesn't
+        // need, so a flat SELECT of expensive computed features (the
+        // audio mm_* queries) would time as a bare scan — the fused
+        // decode/feature work never executing. toRdd runs the FINAL plan:
+        // every output column materializes, nothing collects to the
+        // driver. (Step change recorded in BENCH/BASELINE.md round 5.)
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
         finally graft.operators.Dedup.releaseCaches()
         name -> (System.nanoTime() - t0) / 1e9
       }

@@ -128,12 +128,18 @@ object SparkEntry {
     // keeps amplitude 0.5 → rms ~354, peak ~500) plus an SNR test.
     "mm_resample_meta" -> ((s, dir) => {
       graft.functions.AudioFunctions.register(s)
+      graft.functions.VecFunctions.register(s)
       import graft.functions.AudioFunctions._
       clips(s, dir).filter(Pipeline.gate)
         .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
         .withColumn("pcm", pcm_decode(col("bytes"), col("codec")))
         .withColumn("pcm16k", pcm_resample(col("pcm"), col("sr_hz"), lit(16000)))
-        .withColumn("rms_x1000", graft.functions.AudioFunctions.rmsX1000(col("pcm16k")))
+        // codegen'd Σx² (norm2_f), NOT the rmsX1000 interpreted-lambda
+        // reference: identical left-fold doubles (PcmSpec-pinned), ~100×
+        // cheaper per array — the honest-timing fix showed the lambda
+        // dominating this query's cost
+        .withColumn("rms_x1000", rmsX1000FromEnergy(
+          graft.functions.VecFunctions.norm2_f(col("pcm16k")), size(col("pcm16k"))))
         .select(col("clip_id"), col("sr_hz"),
           size(col("pcm")).cast("bigint").as("n_src"),
           size(col("pcm16k")).cast("bigint").as("n_16k"),
@@ -232,13 +238,21 @@ object SparkEntry {
     // outside either band. Exact float values are pinned in PcmSpec (SNR).
     "mm_audio_features" -> ((s, dir) => {
       graft.functions.AudioFunctions.register(s)
+      graft.functions.VecFunctions.register(s)
       import graft.functions.AudioFunctions._
       clips(s, dir).filter(Pipeline.gate)
         .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
         .withColumn("pcm", pcm_decode(col("bytes"), col("codec")))
-        .withColumn("rms_x1000", graft.functions.AudioFunctions.rmsX1000(col("pcm")))
+        // codegen'd kernels over the DECODED array (this query's point is
+        // exercising pcm_decode end-to-end): norm2_f/peak_f compute the
+        // identical left-fold / order-insensitive doubles as the
+        // interpreted rmsX1000 / array_max(transform(abs)) lambdas they
+        // replace — which the honest-timing fix measured at ~100× the
+        // cost (200s of suite time in THIS query alone)
+        .withColumn("rms_x1000", rmsX1000FromEnergy(
+          graft.functions.VecFunctions.norm2_f(col("pcm")), size(col("pcm"))))
         .withColumn("peak_x1000",
-          expr("CAST(round(1000 * array_max(transform(pcm, x -> abs(CAST(x AS DOUBLE))))) AS BIGINT)"))
+          round(lit(1000) * graft.functions.VecFunctions.peak_f(col("pcm"))).cast("bigint"))
         .select(col("clip_id"), col("sr_hz"), col("dur_ms"),
           size(col("pcm")).cast("bigint").as("n_samples"),
           // frame sampling: one 20ms frame every 100ms → frame count
@@ -351,10 +365,25 @@ object SparkEntry {
       import graft.functions.AudioFunctions._
       clips(s, dir).filter(Pipeline.gate)
         .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
-        .withColumn("relevelled",
-          pcm_gain(col("bytes"), col("codec"), (lit(750) + (col("event_id") % 7) * 250).cast("int")))
+        // fingerprint over a bounded 250ms ANALYSIS WINDOW, not the whole
+        // clip: the Goertzel scan is 16 filters × ~4 flops per sample and
+        // tone identity does not improve past a window whose bin
+        // resolution (1/0.25s = 4 Hz) is already 14× finer than the 55 Hz
+        // candidate spacing. Raw pcm slices BEFORE the gain (a raw prefix
+        // stays decodable, so the re-levelling is windowed too — 80% of
+        // rows); a container codec must gain FIRST (a truncated WAV fails
+        // the chunk walker) and slice the raw output. Clips shorter than
+        // the window use the whole clip. Measured: the unwindowed form
+        // was the single most expensive query in the suite. PcmSpec
+        // sweeps the windowed form over the full fixture grid.
+        .withColumn("win", expr(
+          "CASE WHEN codec = 'pcm_s16le' THEN " +
+            "pcm_gain(substring(bytes, 1, CAST(sr_hz / 2 AS INT)), codec, " +
+            "  CAST(750 + (event_id % 7) * 250 AS INT)) " +
+          "ELSE substring(pcm_gain(bytes, codec, " +
+            "  CAST(750 + (event_id % 7) * 250 AS INT)), 1, CAST(sr_hz / 2 AS INT)) END"))
         .withColumn("fp_hz",
-          round(pcm_dominant_freq(col("relevelled"), lit("pcm_s16le"), col("sr_hz"),
+          round(pcm_dominant_freq(col("win"), lit("pcm_s16le"), col("sr_hz"),
             lit(220.0), lit(55.0), lit(16))).cast("bigint"))
         .groupBy(col("fp_hz"), col("sr_hz"), col("dur_ms"))
         // canonical representative = min EVENT id, not min clip_id: a

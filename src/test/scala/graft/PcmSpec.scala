@@ -183,6 +183,25 @@ class PcmSpec extends AnyFunSuite {
     }
   }
 
+  test("peak_f: codegen'd max|x| is bit-identical to the interpreted HOF it replaces") {
+    val s = spark
+    import s.implicits._
+    AudioFunctions.register(s)
+    graft.functions.VecFunctions.register(s)
+    val rows = Seq((3L, 16000, 250, "pcm_s16le"), (9L, 44100, 330, "wav"),
+        (14L, 8000, 900, "pcm_s16le"))
+      .toDF("event_id", "sr_hz", "dur_ms", "codec")
+      .withColumn("pcm", expr(
+        "pcm_decode(pcm_synth(220.0 + CAST(event_id % 16 AS DOUBLE) * 55.0, sr_hz, dur_ms, codec), codec)"))
+      .select(expr("peak_f(pcm)").as("fast"),
+        expr("array_max(transform(pcm, x -> abs(CAST(x AS DOUBLE))))").as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+    }
+  }
+
   test("pcm_segments: VAD-lite boundaries, silence handling, codegen path") {
     val s = spark
     import s.implicits._
@@ -330,7 +349,10 @@ class PcmSpec extends AnyFunSuite {
       val bytes = PcmCodec.synth(freq, srG, dur, codec)
       Seq(750, 2250).foreach { g =>
         val r = PcmCodec.gain(bytes, codec, g) // strips the wav container
-        assert(PcmCodec.dominantFreq(r, "pcm_s16le", srG, 220.0, 55.0, 16)
+        // the query fingerprints a 250ms analysis window (sr/2 BYTES of
+        // raw pcm), not the whole clip — pin exactly that form
+        val win = java.util.Arrays.copyOfRange(r, 0, math.min(r.length, srG / 2))
+        assert(PcmCodec.dominantFreq(win, "pcm_s16le", srG, 220.0, 55.0, 16)
           .doubleValue == freq, s"grid fingerprint flip: eid=$eid g=$g sr=$srG dur=$dur")
       }
     }
