@@ -311,8 +311,17 @@ object SparkEntry {
       import graft.functions.AudioFunctions._
       clips(s, dir).filter(Pipeline.gate)
         .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+        // 250ms analysis window (same rationale as dedup_audio_fp: 4 Hz
+        // bin resolution ≫ needed for 55 Hz spacing; the Goertzel is the
+        // dominant per-sample cost). Raw pcm slices directly; a container
+        // codec routes through an IDENTITY gain (gain 1000 ⇒ round(v·1.0)
+        // = v, bit-exact) whose output is raw pcm — a truncated WAV would
+        // fail the chunk walker. Full-clip scans stay PcmSpec-pinned.
+        .withColumn("win", expr(
+          "CASE WHEN codec = 'pcm_s16le' THEN substring(bytes, 1, CAST(sr_hz / 2 AS INT)) " +
+          "ELSE substring(pcm_gain(bytes, codec, 1000), 1, CAST(sr_hz / 2 AS INT)) END"))
         .select(col("clip_id"), col("sr_hz"),
-          round(pcm_dominant_freq(col("bytes"), col("codec"), col("sr_hz"),
+          round(pcm_dominant_freq(col("win"), lit("pcm_s16le"), col("sr_hz"),
             lit(220.0), lit(55.0), lit(16))).cast("bigint").as("freq_hz"))
     }),
     // Loudness normalization (pcm_gain to a 0.25 target RMS): per-clip
