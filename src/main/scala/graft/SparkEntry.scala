@@ -311,15 +311,11 @@ object SparkEntry {
       import graft.functions.AudioFunctions._
       clips(s, dir).filter(Pipeline.gate)
         .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
-        // 250ms analysis window (same rationale as dedup_audio_fp: 4 Hz
-        // bin resolution ≫ needed for 55 Hz spacing; the Goertzel is the
-        // dominant per-sample cost). Raw pcm slices directly; a container
-        // codec routes through an IDENTITY gain (gain 1000 ⇒ round(v·1.0)
-        // = v, bit-exact) whose output is raw pcm — a truncated WAV would
-        // fail the chunk walker. Full-clip scans stay PcmSpec-pinned.
-        .withColumn("win", expr(
-          "CASE WHEN codec = 'pcm_s16le' THEN substring(bytes, 1, CAST(sr_hz / 2 AS INT)) " +
-          "ELSE substring(pcm_gain(bytes, codec, 1000), 1, CAST(sr_hz / 2 AS INT)) END"))
+        // 250ms analysis window via the shared builder (identity gain —
+        // this query only needs the window); slice/gain order invariant
+        // lives in AudioFunctions.analysisWindow. Full-clip scans stay
+        // PcmSpec-pinned.
+        .withColumn("win", analysisWindow(col("bytes"), col("codec"), col("sr_hz"), lit(1000)))
         .select(col("clip_id"), col("sr_hz"),
           round(pcm_dominant_freq(col("win"), lit("pcm_s16le"), col("sr_hz"),
             lit(220.0), lit(55.0), lit(16))).cast("bigint").as("freq_hz"))
@@ -334,9 +330,11 @@ object SparkEntry {
       clips(s, dir).filter(Pipeline.gate)
         .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
         .withColumn("n", expr("CAST(sr_hz AS BIGINT) * dur_ms div 1000"))
-        .withColumn("g1000",
-          round(lit(250.0) / sqrt(pcm_energy(col("bytes"), col("codec")) / col("n"))).cast("int"))
-        .withColumn("normed", pcm_gain(col("bytes"), col("codec"), col("g1000")))
+        // shared normalization definition (AudioFunctions.normalizedPcm):
+        // the streaming audioprep job uses the SAME builder, so the 0.25
+        // target and the silent-clip null edge cannot drift between the
+        // oracle-checked batch form and the production ingest
+        .withColumn("normed", normalizedPcm(col("bytes"), col("codec"), col("n")))
         .select(col("clip_id"), col("sr_hz"), col("dur_ms"),
           inBand(rmsX1000FromEnergy(pcm_energy(col("normed"), lit("pcm_s16le")), col("n")),
             (248L, 252L)).as("norm_rms_ok"),
@@ -374,23 +372,16 @@ object SparkEntry {
       import graft.functions.AudioFunctions._
       clips(s, dir).filter(Pipeline.gate)
         .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
-        // fingerprint over a bounded 250ms ANALYSIS WINDOW, not the whole
-        // clip: the Goertzel scan is 16 filters × ~4 flops per sample and
-        // tone identity does not improve past a window whose bin
-        // resolution (1/0.25s = 4 Hz) is already 14× finer than the 55 Hz
-        // candidate spacing. Raw pcm slices BEFORE the gain (a raw prefix
-        // stays decodable, so the re-levelling is windowed too — 80% of
-        // rows); a container codec must gain FIRST (a truncated WAV fails
-        // the chunk walker) and slice the raw output. Clips shorter than
-        // the window use the whole clip. Measured: the unwindowed form
-        // was the single most expensive query in the suite. PcmSpec
-        // sweeps the windowed form over the full fixture grid.
-        .withColumn("win", expr(
-          "CASE WHEN codec = 'pcm_s16le' THEN " +
-            "pcm_gain(substring(bytes, 1, CAST(sr_hz / 2 AS INT)), codec, " +
-            "  CAST(750 + (event_id % 7) * 250 AS INT)) " +
-          "ELSE substring(pcm_gain(bytes, codec, " +
-            "  CAST(750 + (event_id % 7) * 250 AS INT)), 1, CAST(sr_hz / 2 AS INT)) END"))
+        // re-levelled 250ms ANALYSIS WINDOW via the shared builder (the
+        // slice/gain order invariant lives in AudioFunctions
+        // .analysisWindow): tone identity does not improve past a window
+        // whose 4 Hz bin resolution is already 14× finer than the 55 Hz
+        // candidate spacing, and the unwindowed form measured as the
+        // single most expensive query in the suite. Clips shorter than
+        // the window use the whole clip. PcmSpec sweeps the windowed
+        // form over the full fixture grid.
+        .withColumn("win", analysisWindow(col("bytes"), col("codec"), col("sr_hz"),
+          (lit(750) + (col("event_id") % 7) * 250).cast("int")))
         .withColumn("fp_hz",
           round(pcm_dominant_freq(col("win"), lit("pcm_s16le"), col("sr_hz"),
             lit(220.0), lit(55.0), lit(16))).cast("bigint"))

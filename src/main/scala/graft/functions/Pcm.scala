@@ -762,14 +762,53 @@ object AudioFunctions {
     org.apache.spark.sql.functions.call_function(
       "pcm_dominant_freq", bytes, codec, srHz, f0, df, nCands)
 
-  /** round(1000·rms(pcm)) as bigint — ONE definition of the fold order so
-    * every audio query stays in lockstep with the oracle-parity rule
-    * (ascending left-fold double sum, rounded once). */
+  /** round(1000·rms(pcm)) as bigint via the INTERPRETED SQL-lambda fold —
+    * retained purely as the reference definition for the PcmSpec parity
+    * pin (`rmsX1000(pcm) == rmsX1000FromEnergy(norm2_f(pcm), size(pcm))`
+    * bit-for-bit). Shipped queries use the codegen'd norm2_f/pcm_energy
+    * path: this lambda interprets per element and measured ~100× slower
+    * over decoded audio (round-5 honest-timing fix). */
   def rmsX1000(pcm: Column): Column = {
     import org.apache.spark.sql.functions._
     round(lit(1000) * sqrt(
       aggregate(transform(pcm, x => x.cast("double") * x.cast("double")),
         lit(0.0), (a, v) => a + v) / size(pcm))).cast("bigint")
+  }
+
+  /** Target RMS (×1000) every normalized training clip is levelled to. */
+  val TargetRmsX1000: Long = 250L
+
+  /** Loudness-normalized raw-pcm bytes: per-clip gain derived from the
+    * fused energy so the output RMS lands at [[TargetRmsX1000]]/1000.
+    * ONE definition shared by the batch oracle query (mm_loudnorm) and
+    * the streaming ingest (audioprep) so the target and the silent-clip
+    * edge cannot drift apart. A clip with zero energy (silence) or zero
+    * samples has NO defined gain — the result is null, which callers
+    * must drop or flag (a corpus row with no audio is not trainable). */
+  def normalizedPcm(bytes: Column, codec: Column, n: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val e = pcm_energy(bytes, codec)
+    val g = when(e > 0.0 && n > 0,
+      round(lit(TargetRmsX1000.toDouble) / sqrt(e / n))).cast("int")
+    pcm_gain(bytes, codec, g) // null gain (silent/empty) propagates to null
+  }
+
+  /** 250ms analysis window as raw pcm, with a gain applied — the bounded
+    * scan every tone-detection consumer uses (Goertzel is ~64 flops per
+    * sample; a 4 Hz bin resolution already dwarfs the candidate spacing).
+    * ONE definition so the slice/gain ORDER invariant is unwritable
+    * wrongly: raw pcm slices BEFORE the gain (a raw prefix stays
+    * decodable, windowing the re-levelling cost too); a container codec
+    * must gain FIRST — a truncated WAV fails the chunk walker — and
+    * slice the raw output. gainX1000 = 1000 is a bit-exact identity
+    * (round(v·1.0) = v), for consumers that only need the window. */
+  def analysisWindow(bytes: Column, codec: Column, srHz: Column,
+                     gainX1000: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val winBytes = (srHz.cast("double") / 2.0).cast("int") // sr/2 bytes = 250ms
+    when(codec === lit("pcm_s16le"),
+      pcm_gain(bytes.substr(lit(1), winBytes), codec, gainX1000))
+      .otherwise(pcm_gain(bytes, codec, gainX1000).substr(lit(1), winBytes))
   }
 
   /** Same rms·1000 from a fused energy Σx² and sample count (identical

@@ -93,15 +93,24 @@ object StreamingJobs {
     clipStream.filter(Pipeline.gate)
       .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
       .withColumn("n", expr("CAST(sr_hz AS BIGINT) * dur_ms div 1000"))
-      .withColumn("g1000",
-        round(lit(250.0) / sqrt(pcm_energy(col("bytes"), col("codec")) / col("n"))).cast("int"))
-      .withColumn("norm_bytes", pcm_gain(col("bytes"), col("codec"), col("g1000")))
+      // shared normalization definition — see AudioFunctions.normalizedPcm
+      .withColumn("norm_bytes", normalizedPcm(col("bytes"), col("codec"), col("n")))
+      // a silent or zero-length clip has NO defined gain (normalizedPcm
+      // yields null): DROP it — a corpus row with null audio and null
+      // features is worse than no row. Same drop-not-fail contract as
+      // the tolerant decode.
+      .filter(col("norm_bytes").isNotNull)
       .withColumn("ft", pcm_features(col("norm_bytes"), lit("pcm_s16le")))
       .select(col("clip_id"), col("tenant_id"), col("sr_hz"), col("dur_ms"),
         col("event_time"), col("norm_bytes"),
         rmsX1000FromEnergy(element_at(col("ft"), 2), element_at(col("ft"), 1)).as("rms_x1000"),
         round(element_at(col("ft"), 3) * 1000).cast("bigint").as("peak_x1000"),
-        round(pcm_dominant_freq(col("norm_bytes"), lit("pcm_s16le"), col("sr_hz"),
+        // tone over the 250ms prefix of the ALREADY-raw normalized bytes
+        // (the windowed-Goertzel idiom; the full-clip scan would pay ~4×
+        // the job's dominant per-sample cost for no extra tone fidelity)
+        round(pcm_dominant_freq(
+          col("norm_bytes").substr(lit(1), (col("sr_hz").cast("double") / 2.0).cast("int")),
+          lit("pcm_s16le"), col("sr_hz"),
           lit(220.0), lit(55.0), lit(16))).cast("bigint").as("tone_hz"),
         expr("size(pcm_segments(norm_bytes, 'pcm_s16le', sr_hz, 20, 100)) div 2")
           .cast("bigint").as("n_segments"))

@@ -183,6 +183,34 @@ class PcmSpec extends AnyFunSuite {
     }
   }
 
+  test("norm2_f fold is bit-identical to the interpreted rmsX1000 lambda it replaced") {
+    // shipped queries compute rms via rmsX1000FromEnergy(norm2_f(pcm), n);
+    // AudioFunctions.rmsX1000 is the retained interpreted REFERENCE — if
+    // either fold order ever drifts, this pin fails instead of the rms
+    // silently shifting inside the oracle acceptance band
+    val s = spark
+    import s.implicits._
+    AudioFunctions.register(s)
+    graft.functions.VecFunctions.register(s)
+    val rows = Seq((3L, 16000, 250, "pcm_s16le"), (9L, 44100, 330, "wav"),
+        (14L, 8000, 900, "pcm_s16le"))
+      .toDF("event_id", "sr_hz", "dur_ms", "codec")
+      .withColumn("pcm", expr(
+        "pcm_decode(pcm_synth(220.0 + CAST(event_id % 16 AS DOUBLE) * 55.0, sr_hz, dur_ms, codec), codec)"))
+      .select(
+        expr("aggregate(transform(pcm, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)").as("sum_ref"),
+        graft.functions.VecFunctions.norm2_f(col("pcm")).as("sum_fast"),
+        AudioFunctions.rmsX1000(col("pcm")).as("rms_ref"),
+        AudioFunctions.rmsX1000FromEnergy(
+          graft.functions.VecFunctions.norm2_f(col("pcm")), size(col("pcm"))).as("rms_fast"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"fold drift: $r")
+      assert(r.getLong(2) == r.getLong(3), s"rms drift: $r")
+    }
+  }
+
   test("peak_f: codegen'd max|x| is bit-identical to the interpreted HOF it replaces") {
     val s = spark
     import s.implicits._

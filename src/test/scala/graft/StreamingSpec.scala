@@ -1371,7 +1371,9 @@ class StreamingSpec extends AnyFunSuite {
       Clip("clip-t0-s0-0000000003", 16000, 500, "opus-stub", "x",
         ts("2025-09-19 10:02:00"), 7L, 4L), // gate-failed: dropped
       Clip("clip-t0-s0-0000000004", 16000, 500, "wav", null,
-        ts("2025-09-19 10:03:00"), 7L, 5L)) // null transcript: dropped
+        ts("2025-09-19 10:03:00"), 7L, 5L), // null transcript: dropped
+      Clip("clip-t0-s0-0000000005", 16000, 0, "pcm_s16le", "zero duration",
+        ts("2025-09-19 10:04:00"), 7L, 6L)) // no samples ⇒ no gain: dropped
     // stateless map-only ⇒ append-mode streamable with no watermark
     val q = StreamingJobs.audioPrep(s, ms.toDF())
       .writeStream.outputMode("append").format("memory").queryName("aprep_out").start()
@@ -1386,7 +1388,8 @@ class StreamingSpec extends AnyFunSuite {
         .map(show).sortBy(_.mkString("|"))
       val batch = StreamingJobs.audioPrep(s, rows.toDF()).collect()
         .map(show).sortBy(_.mkString("|"))
-      assert(streamed.length == 2, s"gate must drop 2 of 4: ${streamed.length}")
+      assert(streamed.length == 2,
+        s"gate + silent-clip guard must drop 3 of 5: ${streamed.length}")
       assert(streamed.toSeq == batch.toSeq)
       // the prepared rows carry correct audio metadata: normalized rms at
       // the 0.25 target, detected tone = the synth closed form, one
