@@ -116,6 +116,29 @@ object StreamingJobs {
           .cast("bigint").as("n_segments"))
   }
 
+  /** Streaming AUDIO near-dup suppression — the streaming form of the
+    * batch `dedup_audio_fp` clustering: drop clips whose gain-invariant
+    * spectral fingerprint (Goertzel dominant tone over the shared 250ms
+    * analysis window × sample rate × duration) was already seen within
+    * the watermark horizon. Byte-level dedup misses re-levelled copies
+    * of the same recording; the fingerprint catches them, and
+    * dropDuplicatesWithinWatermark keeps state bounded at corpus scale
+    * (exact dedup over ALL history stays with the batch path). */
+  def audioDedupStream(spark: SparkSession, clipStream: DataFrame,
+                       watermark: String = "1 hour"): DataFrame = {
+    graft.functions.AudioFunctions.register(spark)
+    import graft.functions.AudioFunctions._
+    clipStream.filter(Pipeline.gate)
+      .withColumn("event_time", col("event_time").cast("timestamp"))
+      .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+      .withColumn("fp_hz", round(pcm_dominant_freq(
+        analysisWindow(col("bytes"), col("codec"), col("sr_hz"), lit(1000)),
+        lit("pcm_s16le"), col("sr_hz"), lit(220.0), lit(55.0), lit(16))).cast("bigint"))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("fp_hz", "sr_hz", "dur_ms")
+      .drop("bytes")
+  }
+
   /** Streaming exact deduplication over a content key — the training-data
     * dedup operator in its streaming form: state holds one key per seen
     * clip within the watermark horizon, so duplicates arriving across

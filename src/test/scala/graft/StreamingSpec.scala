@@ -1586,6 +1586,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming audio near-dup: fingerprint drops byte-differing re-encodes cross-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Clip]
+    val q = StreamingJobs.audioDedupStream(s, ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("adedup_out").start()
+    try {
+      ms.addData(
+        Clip("c1", 16000, 500, "wav", "x", ts("2025-09-19 10:00:00"), 7L, 1L),  // tone 275
+        Clip("c2", 16000, 500, "wav", "x", ts("2025-09-19 10:01:00"), 7L, 3L))  // tone 385
+      q.processAllAvailable()
+      // same recording re-encoded as RAW pcm (different bytes: no RIFF
+      // container; eid 17 ≡ 1 mod 16 ⇒ same tone) inside the horizon —
+      // byte dedup would keep it, the fingerprint drops it
+      ms.addData(Clip("c3", 16000, 500, "pcm_s16le", "x", ts("2025-09-19 10:10:00"), 7L, 17L))
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM adedup_out").count() == 2)
+      // advance event time past the watermark → state evicted → the same
+      // fingerprint admits again (the documented horizon semantics)
+      ms.addData(Clip("c4", 16000, 500, "wav", "x", ts("2025-09-19 20:00:00"), 7L, 5L))
+      q.processAllAvailable()
+      ms.addData(Clip("c5", 16000, 500, "wav", "x", ts("2025-09-19 20:01:00"), 7L, 33L))
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM adedup_out WHERE fp_hz = 275").count() == 2)
+      assert(s.sql("SELECT * FROM adedup_out").count() == 4)
+    } finally q.stop()
+  }
+
   test("labeled error counters: decode skips counted per batch by error type") {
     val s = spark
     import s.implicits._
