@@ -311,11 +311,11 @@ object SparkEntry {
       import graft.functions.AudioFunctions._
       clips(s, dir).filter(Pipeline.gate)
         .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
-        // 250ms analysis window via the shared builder (identity gain —
-        // this query only needs the window); slice/gain order invariant
-        // lives in AudioFunctions.analysisWindow. Full-clip scans stay
-        // PcmSpec-pinned.
-        .withColumn("win", analysisWindow(col("bytes"), col("codec"), col("sr_hz"), lit(1000)))
+        // 250ms analysis window via the shared gain-free builder (raw pcm
+        // is a pure slice; containers strip through an identity gain);
+        // slice/gain order invariant lives in AudioFunctions
+        // .analysisWindow. Full-clip scans stay PcmSpec-pinned.
+        .withColumn("win", analysisWindow(col("bytes"), col("codec"), col("sr_hz")))
         .select(col("clip_id"), col("sr_hz"),
           round(pcm_dominant_freq(col("win"), lit("pcm_s16le"), col("sr_hz"),
             lit(220.0), lit(55.0), lit(16))).cast("bigint").as("freq_hz"))

@@ -805,11 +805,31 @@ object AudioFunctions {
   def analysisWindow(bytes: Column, codec: Column, srHz: Column,
                      gainX1000: Column): Column = {
     import org.apache.spark.sql.functions._
-    val winBytes = (srHz.cast("double") / 2.0).cast("int") // sr/2 bytes = 250ms
+    val winBytes = analysisWindowBytes(srHz)
     when(codec === lit("pcm_s16le"),
       pcm_gain(bytes.substr(lit(1), winBytes), codec, gainX1000))
       .otherwise(pcm_gain(bytes, codec, gainX1000).substr(lit(1), winBytes))
   }
+
+  /** Gain-free [[analysisWindow]]: raw pcm is a PURE slice (no decode,
+    * no rewrite, no allocation beyond the slice); container codecs still
+    * route through an identity gain (bit-exact: round(v·1.0) = v) because
+    * stripping the container requires the decode walk anyway. Use this
+    * whenever the consumer only needs the window — the gained variant
+    * costs a full decode+round+rewrite pass per row. */
+  def analysisWindow(bytes: Column, codec: Column, srHz: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val winBytes = analysisWindowBytes(srHz)
+    when(codec === lit("pcm_s16le"), bytes.substr(lit(1), winBytes))
+      .otherwise(pcm_gain(bytes, codec, lit(1000)).substr(lit(1), winBytes))
+  }
+
+  /** The 250ms analysis-window length in BYTES of raw pcm (2 bytes per
+    * sample ⇒ sr/2). ONE definition: every window consumer (the shared
+    * builders above, the streaming ingest's tone scan) derives from it,
+    * so a retune of the window cannot leave a site behind. */
+  def analysisWindowBytes(srHz: Column): Column =
+    (srHz.cast("double") / 2.0).cast("int")
 
   /** Same rms·1000 from a fused energy Σx² and sample count (identical
     * value: [[PcmCodec.features]] accumulates the same left-fold sum). */

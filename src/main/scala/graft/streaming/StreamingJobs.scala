@@ -93,13 +93,18 @@ object StreamingJobs {
     clipStream.filter(Pipeline.gate)
       .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
       .withColumn("n", expr("CAST(sr_hz AS BIGINT) * dur_ms div 1000"))
+      // a silent or zero-length clip has NO defined gain: DROP it — a
+      // corpus row with null audio and null features is worse than no
+      // row (same drop-not-fail contract as the tolerant decode). The
+      // drop tests the CHEAP precondition, not norm_bytes IS NOT NULL:
+      // Catalyst pushes predicates through projections by INLINING the
+      // aliased expression, so a null-check on the gained bytes would
+      // recompute the whole synth→energy→gain chain in the Filter and
+      // again in the Project — only the energy scan may run twice here.
+      .filter(col("n") > 0 && pcm_energy(col("bytes"), col("codec")) > 0.0)
       // shared normalization definition — see AudioFunctions.normalizedPcm
+      // (its silent/empty guard is now vacuous: the filter above holds)
       .withColumn("norm_bytes", normalizedPcm(col("bytes"), col("codec"), col("n")))
-      // a silent or zero-length clip has NO defined gain (normalizedPcm
-      // yields null): DROP it — a corpus row with null audio and null
-      // features is worse than no row. Same drop-not-fail contract as
-      // the tolerant decode.
-      .filter(col("norm_bytes").isNotNull)
       .withColumn("ft", pcm_features(col("norm_bytes"), lit("pcm_s16le")))
       .select(col("clip_id"), col("tenant_id"), col("sr_hz"), col("dur_ms"),
         col("event_time"), col("norm_bytes"),
@@ -107,9 +112,10 @@ object StreamingJobs {
         round(element_at(col("ft"), 3) * 1000).cast("bigint").as("peak_x1000"),
         // tone over the 250ms prefix of the ALREADY-raw normalized bytes
         // (the windowed-Goertzel idiom; the full-clip scan would pay ~4×
-        // the job's dominant per-sample cost for no extra tone fidelity)
+        // the job's dominant per-sample cost for no extra tone fidelity).
+        // Window length from the ONE shared definition.
         round(pcm_dominant_freq(
-          col("norm_bytes").substr(lit(1), (col("sr_hz").cast("double") / 2.0).cast("int")),
+          col("norm_bytes").substr(lit(1), analysisWindowBytes(col("sr_hz"))),
           lit("pcm_s16le"), col("sr_hz"),
           lit(220.0), lit(55.0), lit(16))).cast("bigint").as("tone_hz"),
         expr("size(pcm_segments(norm_bytes, 'pcm_s16le', sr_hz, 20, 100)) div 2")
@@ -129,10 +135,18 @@ object StreamingJobs {
     graft.functions.AudioFunctions.register(spark)
     import graft.functions.AudioFunctions._
     clipStream.filter(Pipeline.gate)
+      // a clip with no samples (sr·dur < 1000 ⇒ n = 0) or a nonsense rate
+      // has NO defined fingerprint; dropDuplicatesWithinWatermark treats
+      // null keys as EQUAL, so without this guard two unrelated
+      // no-fingerprint clips would dedup against each other and the
+      // first would flow on with fp_hz null. Cheap metadata predicate —
+      // a post-hoc fp_hz IS NOT NULL filter would inline and recompute
+      // the Goertzel scan when pushed through the projection.
+      .filter(col("sr_hz") > 0 && expr("CAST(sr_hz AS BIGINT) * dur_ms >= 1000"))
       .withColumn("event_time", col("event_time").cast("timestamp"))
       .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
       .withColumn("fp_hz", round(pcm_dominant_freq(
-        analysisWindow(col("bytes"), col("codec"), col("sr_hz"), lit(1000)),
+        analysisWindow(col("bytes"), col("codec"), col("sr_hz")),
         lit("pcm_s16le"), col("sr_hz"), lit(220.0), lit(55.0), lit(16))).cast("bigint"))
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("fp_hz", "sr_hz", "dur_ms")

@@ -1596,7 +1596,10 @@ class StreamingSpec extends AnyFunSuite {
     try {
       ms.addData(
         Clip("c1", 16000, 500, "wav", "x", ts("2025-09-19 10:00:00"), 7L, 1L),  // tone 275
-        Clip("c2", 16000, 500, "wav", "x", ts("2025-09-19 10:01:00"), 7L, 3L))  // tone 385
+        Clip("c2", 16000, 500, "wav", "x", ts("2025-09-19 10:01:00"), 7L, 3L),  // tone 385
+        // zero samples ⇒ no defined fingerprint: guarded out, never a
+        // null dedup key
+        Clip("c0", 16000, 0, "wav", "x", ts("2025-09-19 10:00:30"), 7L, 9L))
       q.processAllAvailable()
       // same recording re-encoded as RAW pcm (different bytes: no RIFF
       // container; eid 17 ≡ 1 mod 16 ⇒ same tone) inside the horizon —
