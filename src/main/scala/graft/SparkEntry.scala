@@ -14,8 +14,38 @@ import graft.operators.{Cep, Dedup, IntervalJoin, Pipeline, Similarity, TextOps,
   */
 object SparkEntry {
 
+  /** Spread a narrow scan across the session's parallelism (guide §2.5
+    * "input skew: one huge unsplittable file ... repartition immediately
+    * after the read"): the driver's SF inputs are single-row-group parquet
+    * files, so every scan plans exactly ONE task and all downstream
+    * per-row compute — synth/decode/Goertzel byte walks, per-token md5s —
+    * serializes on one core regardless of session width (measured: the
+    * whole mm_* audio tier ran single-task at local[32]).
+    *
+    * The exchange moves only the small metadata rows (audio bytes are
+    * synthesized AFTER it — the guide §8 "shuffle keys and metadata
+    * instead of payloads" shape), keyed on the unique row id
+    * (deterministic, skew-free; never rand()). Scale-adaptive, not a
+    * local[32] constant: the target is defaultParallelism (the local[N]
+    * width locally, total executor cores on a cluster) and the probe makes
+    * it a NO-OP whenever the scan already plans at least that many
+    * partitions — a 100 TB input with real splits adds no exchange. The
+    * explicit partition count keeps AQE from coalescing the small-byte
+    * exchange back to one partition. */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df
+    else df.repartition(want, col(key))
+  }
+
   private def clips(s: SparkSession, dir: String): DataFrame =
-    ClipTable.clips(s, dir)
+    spread(ClipTable.clips(s, dir), "clip_id")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    spread(TextOps.docs(s, dir), "doc_id")
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    spread(Similarity.embeddings(s, dir), "vec_id")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -208,23 +238,23 @@ object SparkEntry {
         .orderBy(col("risk_score").desc, col("event_uid").asc)
         .limit(20)),
     // ---- training-data pipeline ops over documents/embeddings ----
-    "txt_quality" -> ((s, dir) => TextOps.quality(TextOps.docs(s, dir))),
-    "txt_langid" -> ((s, dir) => TextOps.langId(TextOps.docs(s, dir))),
-    "txt_tokens" -> ((s, dir) => TextOps.tokenCounts(TextOps.docs(s, dir))),
-    "txt_fingerprint" -> ((s, dir) => TextOps.fingerprint(TextOps.docs(s, dir))),
+    "txt_quality" -> ((s, dir) => TextOps.quality(docs(s, dir))),
+    "txt_langid" -> ((s, dir) => TextOps.langId(docs(s, dir))),
+    "txt_tokens" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
+    "txt_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
     // Deterministic hash split + per-shard block sequence packing — the
     // reproducibility-critical training-data ops (never rand())
-    "td_train_split" -> ((s, dir) => TextOps.trainSplit(TextOps.docs(s, dir))),
-    "td_pack_sequences" -> ((s, dir) => TextOps.packSequences(TextOps.docs(s, dir))),
-    "dedup_exact" -> ((s, dir) => Dedup.exact(TextOps.docs(s, dir))),
-    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(TextOps.docs(s, dir))),
-    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(TextOps.docs(s, dir))),
-    "dedup_simhash" -> ((s, dir) => Dedup.simhash(TextOps.docs(s, dir))),
-    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(TextOps.docs(s, dir))),
-    "dedup_embed_cosine" -> ((s, dir) => Similarity.cosineNearDup(Similarity.embeddings(s, dir))),
-    "sim_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(Similarity.embeddings(s, dir))),
-    "sim_ivf_bucket" -> ((s, dir) => Similarity.ivfTopNeighbor(Similarity.embeddings(s, dir))),
-    "sim_ivf_multiprobe" -> ((s, dir) => Similarity.ivfMultiprobeTopK(Similarity.embeddings(s, dir))),
+    "td_train_split" -> ((s, dir) => TextOps.trainSplit(docs(s, dir))),
+    "td_pack_sequences" -> ((s, dir) => TextOps.packSequences(docs(s, dir))),
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    "dedup_embed_cosine" -> ((s, dir) => Similarity.cosineNearDup(embeddings(s, dir))),
+    "sim_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(embeddings(s, dir))),
+    "sim_ivf_bucket" -> ((s, dir) => Similarity.ivfTopNeighbor(embeddings(s, dir))),
+    "sim_ivf_multiprobe" -> ((s, dir) => Similarity.ivfMultiprobeTopK(embeddings(s, dir))),
     // Multimodal plumbing: opaque binary + typed metadata → decode →
     // feature extraction (RMS/peak/frame sampling) via the registered
     // Catalyst decode expression. The audio bytes never exist in DuckDB,
@@ -311,14 +341,16 @@ object SparkEntry {
       import graft.functions.AudioFunctions._
       clips(s, dir).filter(Pipeline.gate)
         .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
-        // 250ms analysis window via the shared gain-free builder (raw pcm
-        // is a pure slice; containers strip through an identity gain);
-        // slice/gain order invariant lives in AudioFunctions
-        // .analysisWindow. Full-clip scans stay PcmSpec-pinned.
-        .withColumn("win", analysisWindow(col("bytes"), col("codec"), col("sr_hz")))
+        // 250ms analysis window FUSED into the Goertzel pass (7-arg form,
+        // window length from the one shared analysisWindowSamples
+        // definition): bit-identical to the r5 analysisWindow builder
+        // chain (PcmSpec-pinned) minus its per-row window byte[] copy —
+        // and for container codecs minus a full-clip identity-gain
+        // decode+rewrite whose output existed only to be sliced.
         .select(col("clip_id"), col("sr_hz"),
-          round(pcm_dominant_freq(col("win"), lit("pcm_s16le"), col("sr_hz"),
-            lit(220.0), lit(55.0), lit(16))).cast("bigint").as("freq_hz"))
+          round(pcm_dominant_freq(col("bytes"), col("codec"), col("sr_hz"),
+            lit(220.0), lit(55.0), lit(16),
+            analysisWindowSamples(col("sr_hz")))).cast("bigint").as("freq_hz"))
     }),
     // Loudness normalization (pcm_gain to a 0.25 target RMS): per-clip
     // gain derived from the fused energy, applied with s16 saturation,
@@ -354,8 +386,12 @@ object SparkEntry {
         .select(col("clip_id"),
           round(pcm_clip_ratio(col("bytes"), col("codec"), lit(999)) * 1000000)
             .cast("bigint").as("orig_clip_ppm"),
-          when(pcm_clip_ratio(pcm_gain(col("bytes"), col("codec"), lit(3000)),
-              lit("pcm_s16le"), lit(999)).between(0.50, 0.575), 1L)
+          // fused overdrive screen: gain applied INSIDE the one clip-ratio
+          // pass (bit-identical to the pcm_gain(…, 3000) two-step form,
+          // PcmSpec-pinned) — the gained byte[] this query used to
+          // materialize per row existed only to be re-walked and counted
+          when(pcm_clip_ratio(col("bytes"), col("codec"), lit(999), lit(3000))
+              .between(0.50, 0.575), 1L)
             .otherwise(0L).as("hot_clip_flag"))
     }),
     // AUDIO near-dup: cluster clips by a GAIN-INVARIANT spectral
@@ -372,19 +408,20 @@ object SparkEntry {
       import graft.functions.AudioFunctions._
       clips(s, dir).filter(Pipeline.gate)
         .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
-        // re-levelled 250ms ANALYSIS WINDOW via the shared builder (the
-        // slice/gain order invariant lives in AudioFunctions
-        // .analysisWindow): tone identity does not improve past a window
-        // whose 4 Hz bin resolution is already 14× finer than the 55 Hz
-        // candidate spacing, and the unwindowed form measured as the
-        // single most expensive query in the suite. Clips shorter than
-        // the window use the whole clip. PcmSpec sweeps the windowed
-        // form over the full fixture grid.
-        .withColumn("win", analysisWindow(col("bytes"), col("codec"), col("sr_hz"),
-          (lit(750) + (col("event_id") % 7) * 250).cast("int")))
+        // re-levelled 250ms ANALYSIS WINDOW, both now FUSED into the
+        // Goertzel pass (8-arg pcm_dominant_freq; window length from the
+        // one shared analysisWindowSamples definition, gain math
+        // bit-identical to pcm_gain — PcmSpec sweeps fused-vs-builder
+        // over the full grid): tone identity does not improve past a
+        // window whose 4 Hz bin resolution is already 14× finer than the
+        // 55 Hz candidate spacing, and the r5 builder chain re-wrote a
+        // gained window byte[] per row (for wav rows, the WHOLE clip)
+        // only for this scan to re-read it. Clips shorter than the
+        // window use the whole clip.
         .withColumn("fp_hz",
-          round(pcm_dominant_freq(col("win"), lit("pcm_s16le"), col("sr_hz"),
-            lit(220.0), lit(55.0), lit(16))).cast("bigint"))
+          round(pcm_dominant_freq(col("bytes"), col("codec"), col("sr_hz"),
+            lit(220.0), lit(55.0), lit(16), analysisWindowSamples(col("sr_hz")),
+            (lit(750) + (col("event_id") % 7) * 250).cast("int"))).cast("bigint"))
         .groupBy(col("fp_hz"), col("sr_hz"), col("dur_ms"))
         // canonical representative = min EVENT id, not min clip_id: a
         // string min forces SortAggregate (string agg buffers are not

@@ -317,6 +317,41 @@ object PcmCodec {
     hits.toDouble / n
   }
 
+  /** Fused gain→clipping-detector: bit-identical to
+    * `clipRatio(gain(bytes, codec, gainX1000), "pcm_s16le", threshX1000)`
+    * — per sample the SAME `clamp(round(v·g), ±32767/-32768)` as [[gain]],
+    * compared with [[clipRatio]]'s integer-exact threshold — WITHOUT
+    * materializing the gained byte[] copy. The overdrive screen
+    * (mm_clip_detect) was the single most expensive suite query and half
+    * its cost was that copy: a full write+rewalk of every clip's bytes
+    * whose only consumer was this counter. Same null semantics as the
+    * two-step form (undecodable input, negative gain, non-positive
+    * threshold → null; empty clip → 0.0). */
+  def clipRatioGained(bytes: Array[Byte], codec: String, threshX1000: Int,
+                      gainX1000: Int): java.lang.Double = {
+    if (threshX1000 <= 0 || gainX1000 < 0) return null
+    val range = sampleRange(bytes, codec)
+    if (range < 0) return null
+    val off = (range >> 32).toInt
+    val n = (range & 0xffffffffL).toInt / 2
+    if (n == 0) return 0.0
+    val rhs = threshX1000.toLong * 32768L
+    val g = gainX1000.toDouble / 1000.0
+    var hits = 0L
+    var i = 0
+    while (i < n) {
+      val lo = bytes(off + 2 * i) & 0xff
+      val hi = bytes(off + 2 * i + 1)
+      val v = ((hi << 8) | lo).toShort
+      val scaled = math.round(v.toDouble * g)
+      val s = if (scaled > 32767L) 32767L else if (scaled < -32768L) -32768L else scaled
+      val a = if (s < 0) -s else s
+      if (a * 1000L >= rhs) hits += 1
+      i += 1
+    }
+    hits.toDouble / n
+  }
+
   /** Fused decode→Goertzel scan: dominant frequency among `nCands`
     * candidates `f0 + k·df` (k = 0…nCands-1) by single-bin DFT power —
     * the cheap pitch/tone detector (content screening, fixture
@@ -327,12 +362,32 @@ object PcmCodec {
     * frequency; null for undecodable/empty input or a non-positive
     * rate/candidate count (cap 64 keeps the state in L1). */
   def dominantFreq(bytes: Array[Byte], codec: String, srHz: Int,
-                   f0: Double, df: Double, nCands: Int): java.lang.Double = {
+                   f0: Double, df: Double, nCands: Int): java.lang.Double =
+    dominantFreqWindowed(bytes, codec, srHz, f0, df, nCands, Int.MaxValue, 1000)
+
+  /** [[dominantFreq]] with the analysis window and re-levelling gain FUSED
+    * into the one Goertzel pass: scans only the first `maxSamples` samples
+    * of the decodable region, applying pcm_gain's exact per-sample math
+    * (`clamp(round(v·g), ±32767/-32768)`, then /32768f) in registers.
+    * Bit-identical to the builder chain it replaces —
+    * `dominantFreq(gain(bytes, codec, g).slice(window), "pcm_s16le", …)` —
+    * because gain order/offsets and the floor-of-min window arithmetic are
+    * reproduced exactly (PcmSpec sweeps the grid), but with ZERO
+    * intermediate byte[] materializations: the old chain re-wrote the
+    * window (and for container codecs the WHOLE clip) per row only for
+    * this scan to re-read it. gainX1000 = 1000 is a bit-exact identity
+    * (round(v·1.0) = v) — the gain-free window path. Null for
+    * undecodable/empty input, non-positive rate/candidates/window, or a
+    * negative gain (mirroring [[gain]]). */
+  def dominantFreqWindowed(bytes: Array[Byte], codec: String, srHz: Int,
+                           f0: Double, df: Double, nCands: Int,
+                           maxSamples: Int, gainX1000: Int): java.lang.Double = {
     if (srHz <= 0 || nCands <= 0 || nCands > 64) return null
+    if (maxSamples <= 0 || gainX1000 < 0) return null
     val range = sampleRange(bytes, codec)
     if (range < 0) return null
     val off = (range >> 32).toInt
-    val n = (range & 0xffffffffL).toInt / 2
+    val n = math.min((range & 0xffffffffL).toInt / 2, maxSamples)
     if (n == 0) return null
     val coef = new Array[Double](nCands)
     var k = 0
@@ -340,13 +395,22 @@ object PcmCodec {
       coef(k) = 2.0 * math.cos(2.0 * math.Pi * (f0 + k * df) / srHz)
       k += 1
     }
+    val identityGain = gainX1000 == 1000
+    val g = gainX1000.toDouble / 1000.0
     val s1 = new Array[Double](nCands)
     val s2 = new Array[Double](nCands)
     var i = 0
     while (i < n) {
       val lo = bytes(off + 2 * i) & 0xff
       val hi = bytes(off + 2 * i + 1)
-      val v = (((hi << 8) | lo).toShort / 32768f).toDouble
+      val raw = ((hi << 8) | lo).toShort
+      val v =
+        if (identityGain) (raw / 32768f).toDouble
+        else {
+          val scaled = math.round(raw.toDouble * g)
+          val s = (if (scaled > 32767L) 32767L else if (scaled < -32768L) -32768L else scaled).toShort
+          (s / 32768f).toDouble
+        }
       k = 0
       while (k < nCands) {
         val s0 = v + coef(k) * s1(k) - s2(k)
@@ -616,54 +680,97 @@ case class PcmGain(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
-/** Catalyst expression: pcm_clip_ratio(bytes, codec, thresh_x1000) →
-  * double — fused decode→distortion screen ([[PcmCodec.clipRatio]]):
-  * fraction of samples at/above the normalized magnitude threshold. */
-case class PcmClipRatio(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with ImplicitCastInputTypes {
-  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType, IntegerType)
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
-  override protected def nullSafeEval(b: Any, c: Any, t: Any): Any =
-    PcmCodec.clipRatio(b.asInstanceOf[Array[Byte]], c.toString, t.asInstanceOf[Int])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (b, c, t) => {
-      val r = ctx.freshName("clipRatio")
-      s"""
-         |final java.lang.Double $r = graft.functions.PcmCodec.clipRatio($b, $c.toString(), $t);
-         |if ($r == null) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = $r.doubleValue();
-         |}
-       """.stripMargin
-    })
-  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
-    copy(first = f, second = s, third = t)
-}
-
-/** Catalyst expression: pcm_dominant_freq(bytes, codec, sr_hz, f0, df,
-  * n_cands) → double — fused decode→Goertzel candidate scan
-  * ([[PcmCodec.dominantFreq]]): the winning candidate frequency. */
-case class PcmDominantFreq(children: Seq[Expression])
+/** Catalyst expression: pcm_clip_ratio(bytes, codec, thresh_x1000
+  * [, gain_x1000]) → double — fused decode→distortion screen
+  * ([[PcmCodec.clipRatio]]): fraction of samples at/above the normalized
+  * magnitude threshold. The optional 4th operand applies a gain (same
+  * scale-saturate math as pcm_gain) INSIDE the one pass
+  * ([[PcmCodec.clipRatioGained]]), so an overdrive screen needs no
+  * intermediate gained byte[] materialization — bit-identical to
+  * `pcm_clip_ratio(pcm_gain(bytes, codec, g), 'pcm_s16le', t)`. */
+case class PcmClipRatio(children: Seq[Expression])
     extends Expression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] =
-    Seq(BinaryType, StringType, IntegerType, DoubleType, DoubleType, IntegerType)
+    Seq(BinaryType, StringType, IntegerType) ++
+      (if (children.size >= 4) Seq(IntegerType) else Nil)
   // same arity guard rationale as PcmSynth: ExpectsInputTypes zips and
   // silently truncates on arity mismatch — fail analysis instead
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (children.size != 6)
+    if (children.size != 3 && children.size != 4)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"pcm_dominant_freq requires 6 arguments (bytes, codec, sr_hz, f0, df, n_cands), got ${children.size}")
+        s"pcm_clip_ratio requires 3 or 4 arguments (bytes, codec, thresh_x1000[, gain_x1000]), got ${children.size}")
     else super.checkInputDataTypes()
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) return null
-    PcmCodec.dominantFreq(vs(0).asInstanceOf[Array[Byte]], vs(1).toString,
+    if (children.size == 3)
+      PcmCodec.clipRatio(vs(0).asInstanceOf[Array[Byte]], vs(1).toString,
+        vs(2).asInstanceOf[Int])
+    else
+      PcmCodec.clipRatioGained(vs(0).asInstanceOf[Array[Byte]], vs(1).toString,
+        vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gens = children.map(_.genCode(ctx))
+    val anyNull = gens.map(g => g.isNull.toString).filter(_ != "false")
+    val nullGuard = if (anyNull.isEmpty) "false" else anyNull.mkString(" || ")
+    val childCode = gens.map(_.code).reduce(_ + _)
+    val r = ctx.freshName("clipRatio")
+    val call =
+      if (children.size == 3)
+        s"graft.functions.PcmCodec.clipRatio(${gens(0).value}, ${gens(1).value}.toString(), ${gens(2).value})"
+      else
+        s"graft.functions.PcmCodec.clipRatioGained(${gens(0).value}, ${gens(1).value}.toString(), ${gens(2).value}, ${gens(3).value})"
+    ev.copy(code =
+      childCode +
+        code"""
+           |boolean ${ev.isNull} = true;
+           |double ${ev.value} = 0.0;
+           |if (!($nullGuard)) {
+           |  final java.lang.Double $r = $call;
+           |  if ($r != null) {
+           |    ${ev.value} = $r.doubleValue();
+           |    ${ev.isNull} = false;
+           |  }
+           |}
+         """.stripMargin)
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Catalyst expression: pcm_dominant_freq(bytes, codec, sr_hz, f0, df,
+  * n_cands [, max_samples [, gain_x1000]]) → double — fused
+  * decode→Goertzel candidate scan ([[PcmCodec.dominantFreq]] /
+  * [[PcmCodec.dominantFreqWindowed]]): the winning candidate frequency.
+  * The optional 7th/8th operands fuse the analysis window and the
+  * re-levelling gain into the same single pass — bit-identical to the
+  * slice/gain builder chain (PcmSpec-pinned) without its per-row byte[]
+  * materializations. */
+case class PcmDominantFreq(children: Seq[Expression])
+    extends Expression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(BinaryType, StringType, IntegerType, DoubleType, DoubleType, IntegerType) ++
+      Seq(IntegerType, IntegerType).take(children.size - 6)
+  // same arity guard rationale as PcmSynth: ExpectsInputTypes zips and
+  // silently truncates on arity mismatch — fail analysis instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.size < 6 || children.size > 8)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pcm_dominant_freq requires 6-8 arguments (bytes, codec, sr_hz, f0, df, n_cands[, max_samples[, gain_x1000]]), got ${children.size}")
+    else super.checkInputDataTypes()
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    PcmCodec.dominantFreqWindowed(vs(0).asInstanceOf[Array[Byte]], vs(1).toString,
       vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Double],
-      vs(4).asInstanceOf[Double], vs(5).asInstanceOf[Int])
+      vs(4).asInstanceOf[Double], vs(5).asInstanceOf[Int],
+      if (vs.size >= 7) vs(6).asInstanceOf[Int] else Int.MaxValue,
+      if (vs.size >= 8) vs(7).asInstanceOf[Int] else 1000)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val gens = children.map(_.genCode(ctx))
@@ -671,15 +778,18 @@ case class PcmDominantFreq(children: Seq[Expression])
     val nullGuard = if (anyNull.isEmpty) "false" else anyNull.mkString(" || ")
     val childCode = gens.map(_.code).reduce(_ + _)
     val f = ctx.freshName("domFreq")
+    val winArg = if (gens.size >= 7) gens(6).value.toString else "java.lang.Integer.MAX_VALUE"
+    val gainArg = if (gens.size >= 8) gens(7).value.toString else "1000"
     ev.copy(code =
       childCode +
         code"""
            |boolean ${ev.isNull} = true;
            |double ${ev.value} = 0.0;
            |if (!($nullGuard)) {
-           |  final java.lang.Double $f = graft.functions.PcmCodec.dominantFreq(
+           |  final java.lang.Double $f = graft.functions.PcmCodec.dominantFreqWindowed(
            |    ${gens(0).value}, ${gens(1).value}.toString(), ${gens(2).value},
-           |    ${gens(3).value}, ${gens(4).value}, ${gens(5).value});
+           |    ${gens(3).value}, ${gens(4).value}, ${gens(5).value},
+           |    $winArg, $gainArg);
            |  if ($f != null) {
            |    ${ev.value} = $f.doubleValue();
            |    ${ev.isNull} = false;
@@ -757,10 +867,35 @@ object AudioFunctions {
   def pcm_clip_ratio(bytes: Column, codec: Column, threshX1000: Column): Column =
     org.apache.spark.sql.functions.call_function("pcm_clip_ratio", bytes, codec, threshX1000)
 
+  /** 4-arg fused overdrive screen: gain applied inside the single pass —
+    * bit-identical to `pcm_clip_ratio(pcm_gain(b, c, g), 'pcm_s16le', t)`
+    * without the gained byte[] copy (PcmSpec-pinned parity). */
+  def pcm_clip_ratio(bytes: Column, codec: Column, threshX1000: Column,
+                     gainX1000: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "pcm_clip_ratio", bytes, codec, threshX1000, gainX1000)
+
   def pcm_dominant_freq(bytes: Column, codec: Column, srHz: Column,
                         f0: Column, df: Column, nCands: Column): Column =
     org.apache.spark.sql.functions.call_function(
       "pcm_dominant_freq", bytes, codec, srHz, f0, df, nCands)
+
+  /** Windowed (7-arg) / windowed+re-levelled (8-arg) Goertzel scan: the
+    * analysis window — and optionally pcm_gain's exact scale-saturate
+    * math — fused into the one pass ([[PcmCodec.dominantFreqWindowed]]).
+    * Bit-identical to `pcm_dominant_freq(analysisWindow(…), 'pcm_s16le',
+    * …)` (PcmSpec-pinned) with zero intermediate byte[] copies. */
+  def pcm_dominant_freq(bytes: Column, codec: Column, srHz: Column,
+                        f0: Column, df: Column, nCands: Column,
+                        maxSamples: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "pcm_dominant_freq", bytes, codec, srHz, f0, df, nCands, maxSamples)
+
+  def pcm_dominant_freq(bytes: Column, codec: Column, srHz: Column,
+                        f0: Column, df: Column, nCands: Column,
+                        maxSamples: Column, gainX1000: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "pcm_dominant_freq", bytes, codec, srHz, f0, df, nCands, maxSamples, gainX1000)
 
   /** round(1000·rms(pcm)) as bigint via the INTERPRETED SQL-lambda fold —
     * retained purely as the reference definition for the PcmSpec parity
@@ -785,51 +920,32 @@ object AudioFunctions {
     * edge cannot drift apart. A clip with zero energy (silence) or zero
     * samples has NO defined gain — the result is null, which callers
     * must drop or flag (a corpus row with no audio is not trainable). */
-  def normalizedPcm(bytes: Column, codec: Column, n: Column): Column = {
+  def normalizedPcm(bytes: Column, codec: Column, n: Column): Column =
+    normalizedPcmFromEnergy(bytes, codec, pcm_energy(bytes, codec), n)
+
+  /** [[normalizedPcm]] with the energy supplied by the caller — the ONE
+    * gain formula stays here (batch mm_loudnorm and the streaming ingest
+    * cannot drift), while a caller that already computed Σx² (e.g. from a
+    * pcm_features pass it also gates on) avoids a second walk of the
+    * bytes just to re-derive it. */
+  def normalizedPcmFromEnergy(bytes: Column, codec: Column, energy: Column, n: Column): Column = {
     import org.apache.spark.sql.functions._
-    val e = pcm_energy(bytes, codec)
-    val g = when(e > 0.0 && n > 0,
-      round(lit(TargetRmsX1000.toDouble) / sqrt(e / n))).cast("int")
+    val g = when(energy > 0.0 && n > 0,
+      round(lit(TargetRmsX1000.toDouble) / sqrt(energy / n))).cast("int")
     pcm_gain(bytes, codec, g) // null gain (silent/empty) propagates to null
   }
 
-  /** 250ms analysis window as raw pcm, with a gain applied — the bounded
-    * scan every tone-detection consumer uses (Goertzel is ~64 flops per
-    * sample; a 4 Hz bin resolution already dwarfs the candidate spacing).
-    * ONE definition so the slice/gain ORDER invariant is unwritable
-    * wrongly: raw pcm slices BEFORE the gain (a raw prefix stays
-    * decodable, windowing the re-levelling cost too); a container codec
-    * must gain FIRST — a truncated WAV fails the chunk walker — and
-    * slice the raw output. gainX1000 = 1000 is a bit-exact identity
-    * (round(v·1.0) = v), for consumers that only need the window. */
-  def analysisWindow(bytes: Column, codec: Column, srHz: Column,
-                     gainX1000: Column): Column = {
-    import org.apache.spark.sql.functions._
-    val winBytes = analysisWindowBytes(srHz)
-    when(codec === lit("pcm_s16le"),
-      pcm_gain(bytes.substr(lit(1), winBytes), codec, gainX1000))
-      .otherwise(pcm_gain(bytes, codec, gainX1000).substr(lit(1), winBytes))
-  }
-
-  /** Gain-free [[analysisWindow]]: raw pcm is a PURE slice (no decode,
-    * no rewrite, no allocation beyond the slice); container codecs still
-    * route through an identity gain (bit-exact: round(v·1.0) = v) because
-    * stripping the container requires the decode walk anyway. Use this
-    * whenever the consumer only needs the window — the gained variant
-    * costs a full decode+round+rewrite pass per row. */
-  def analysisWindow(bytes: Column, codec: Column, srHz: Column): Column = {
-    import org.apache.spark.sql.functions._
-    val winBytes = analysisWindowBytes(srHz)
-    when(codec === lit("pcm_s16le"), bytes.substr(lit(1), winBytes))
-      .otherwise(pcm_gain(bytes, codec, lit(1000)).substr(lit(1), winBytes))
-  }
-
-  /** The 250ms analysis-window length in BYTES of raw pcm (2 bytes per
-    * sample ⇒ sr/2). ONE definition: every window consumer (the shared
-    * builders above, the streaming ingest's tone scan) derives from it,
-    * so a retune of the window cannot leave a site behind. */
-  def analysisWindowBytes(srHz: Column): Column =
-    (srHz.cast("double") / 2.0).cast("int")
+  /** The 250ms analysis window in SAMPLES — the `max_samples` operand of
+    * the fused pcm_dominant_freq, and the ONE shared window definition
+    * every tone-detection consumer derives from (a retune cannot leave a
+    * site behind). Until r6 this was a byte-level builder (slice sr/2
+    * bytes, gain, re-materialize); the fused Goertzel form is
+    * bit-identical — floor(sr/4) samples ≡ the count a
+    * `substr(1, floor(sr/2))` byte slice decodes to, including
+    * odd-length edge cases (PcmSpec pins fused == builder chain over the
+    * whole fixture grid) — with zero per-row window copies. */
+  def analysisWindowSamples(srHz: Column): Column =
+    (srHz.cast("double") / 4.0).cast("int")
 
   /** Same rms·1000 from a fused energy Σx² and sample count (identical
     * value: [[PcmCodec.features]] accumulates the same left-fold sum). */
@@ -871,7 +987,7 @@ object AudioFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pcm_gain", exprs => PcmGain(exprs(0), exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pcm_clip_ratio", exprs => PcmClipRatio(exprs(0), exprs(1), exprs(2)), "scala_udf")
+      "pcm_clip_ratio", exprs => PcmClipRatio(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pcm_dominant_freq", exprs => PcmDominantFreq(exprs), "scala_udf")
   }

@@ -83,8 +83,13 @@ case class Norm2F(child: Expression) extends UnaryExpression {
   * arrays (same order-insensitive double max, so values are identical). */
 case class PeakF(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  // NULL on an empty array — matching array_max(transform(pcm, abs)),
+  // whose array_max returns NULL for zero elements (a zero-sample clip
+  // must not report a fake 0.0 peak); hence nullable regardless of child
+  override def nullable: Boolean = true
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() == 0) return null
     var acc = 0.0
     var i = 0
     while (i < x.numElements()) {
@@ -103,12 +108,16 @@ case class PeakF(child: Expression) extends UnaryExpression {
       val v = ctx.freshName("v")
       s"""
          |final int $n = $x.numElements();
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $v = java.lang.Math.abs((double) $x.getFloat($i));
-         |  if ($v > $acc) $acc = $v;
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $v = java.lang.Math.abs((double) $x.getFloat($i));
+         |    if ($v > $acc) $acc = $v;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

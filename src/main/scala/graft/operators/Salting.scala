@@ -78,11 +78,32 @@ object Salting {
     * was the SEPARATE approx_count_distinct query's 0.02-rsd/5% pairing;
     * this one is widened for uniform headroom, not because it flaked.) */
   def tumblingSaltedHllChecked(events: DataFrame, buckets: Int = 16): DataFrame = {
-    val keys = Seq("window_start_s", "event_key")
-    tumblingSalted(events, buckets)
-      .join(tumblingSaltedSketch(events, buckets)
-        .select(col("window_start_s"), col("event_key"), col("n_clips_approx")), keys)
-      .select(col("window_start_s"), col("event_key"), col("n_events"),
+    // ONE salted partial carrying BOTH distinct representations (the exact
+    // clip_id set and the mergeable HLL sketch), merged in one final
+    // aggregate — r5 shipped this as tumblingSalted ⋈ tumblingSaltedSketch,
+    // which ran the whole events pipeline twice and paid four exchanges
+    // plus a join for aggregates that group on the SAME (window, key, salt)
+    // keys (guide §2.4: two operations keyed the same way share one
+    // exchange). Aggregate-by-aggregate identical to the joined form —
+    // same partial grouping, same merge tree — so the oracle hash is
+    // untouched (r6 plan halving, not a semantic change).
+    val partial = events
+      .withColumn("_salt", salt(buckets))
+      .groupBy(window(col("event_time"), "10 minutes"), col("event_key"), col("_salt"))
+      .agg(
+        count(lit(1)).as("p_events"),
+        sum(round(col("risk_score") * 10).cast("bigint")).as("p_risk"),
+        collect_set(col("clip_id")).as("p_clips"),
+        hll_sketch_agg(col("clip_id"), lit(14)).as("p_clips_hll"))
+    partial
+      .groupBy(col("window"), col("event_key"))
+      .agg(
+        sum(col("p_events")).as("n_events"),
+        sum(col("p_risk")).as("risk_x10"),
+        size(array_distinct(flatten(collect_list(col("p_clips"))))).cast("bigint").as("n_clips"),
+        hll_sketch_estimate(hll_union_agg(col("p_clips_hll"))).as("n_clips_approx"))
+      .select(Windows.epochS(col("window.start")).as("window_start_s"),
+        col("event_key"), col("n_events"),
         col("n_clips"), col("risk_x10"),
         when(abs(col("n_clips_approx") - col("n_clips")) <=
           greatest(lit(1L), (col("n_clips") * 10L) / 100L), 1L)

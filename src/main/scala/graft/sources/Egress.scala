@@ -255,7 +255,11 @@ final class ChunkSender(host: String, port: Int, maxRetries: Int,
         if (b < 0) throw new IOException("receiver closed after ack")
         extra.append(b.toChar)
       }
-      if (extra.nonEmpty && extra.toString != "\n" && extra.toString != "\r\n")
+      // a lone '\r' is the first half of a "\r\n" terminator whose '\n'
+      // is still in flight in a later segment (the pre-send drain of the
+      // NEXT chunk consumes it); like '\n'/'\r\n' it can never be an ack
+      if (extra.nonEmpty && extra.toString != "\n" && extra.toString != "\r\n" &&
+          extra.toString != "\r")
         throw new IOException("protocol error: receiver sent bytes beyond the single ack")
     }
 

@@ -95,16 +95,22 @@ object StreamingJobs {
       .withColumn("n", expr("CAST(sr_hz AS BIGINT) * dur_ms div 1000"))
       // a silent or zero-length clip has NO defined gain: DROP it — a
       // corpus row with null audio and null features is worse than no
-      // row (same drop-not-fail contract as the tolerant decode). The
-      // drop tests the CHEAP precondition, not norm_bytes IS NOT NULL:
-      // Catalyst pushes predicates through projections by INLINING the
-      // aliased expression, so a null-check on the gained bytes would
-      // recompute the whole synth→energy→gain chain in the Filter and
-      // again in the Project — only the energy scan may run twice here.
-      .filter(col("n") > 0 && pcm_energy(col("bytes"), col("codec")) > 0.0)
-      // shared normalization definition — see AudioFunctions.normalizedPcm
-      // (its silent/empty guard is now vacuous: the filter above holds)
-      .withColumn("norm_bytes", normalizedPcm(col("bytes"), col("codec"), col("n")))
+      // row (same drop-not-fail contract as the tolerant decode). r5
+      // gated on a SEPARATE pcm_energy scan because Catalyst pushes
+      // predicates through projections by INLINING the aliased
+      // expression (a null-check on the gained bytes would recompute the
+      // whole synth→energy→gain chain twice). r6 removes that extra walk
+      // with the generator barrier: explode(array(…)) plans a Generate
+      // node, whose output attribute a Filter references WITHOUT
+      // inlining — the raw-bytes energy is computed exactly once and
+      // both the silent-clip gate and the gain derive from it.
+      .withColumn("raw_energy", explode(array(pcm_energy(col("bytes"), col("codec")))))
+      .filter(col("n") > 0 && col("raw_energy") > 0.0)
+      // shared normalization formula — see AudioFunctions
+      // .normalizedPcmFromEnergy (its silent/empty guard is vacuous here:
+      // the filter above holds)
+      .withColumn("norm_bytes", normalizedPcmFromEnergy(
+        col("bytes"), col("codec"), col("raw_energy"), col("n")))
       .withColumn("ft", pcm_features(col("norm_bytes"), lit("pcm_s16le")))
       .select(col("clip_id"), col("tenant_id"), col("sr_hz"), col("dur_ms"),
         col("event_time"), col("norm_bytes"),
@@ -113,11 +119,12 @@ object StreamingJobs {
         // tone over the 250ms prefix of the ALREADY-raw normalized bytes
         // (the windowed-Goertzel idiom; the full-clip scan would pay ~4×
         // the job's dominant per-sample cost for no extra tone fidelity).
-        // Window length from the ONE shared definition.
+        // Window FUSED into the scan (7-arg form, length from the ONE
+        // shared definition) — no substr copy of the prefix per row.
         round(pcm_dominant_freq(
-          col("norm_bytes").substr(lit(1), analysisWindowBytes(col("sr_hz"))),
-          lit("pcm_s16le"), col("sr_hz"),
-          lit(220.0), lit(55.0), lit(16))).cast("bigint").as("tone_hz"),
+          col("norm_bytes"), lit("pcm_s16le"), col("sr_hz"),
+          lit(220.0), lit(55.0), lit(16),
+          analysisWindowSamples(col("sr_hz")))).cast("bigint").as("tone_hz"),
         expr("size(pcm_segments(norm_bytes, 'pcm_s16le', sr_hz, 20, 100)) div 2")
           .cast("bigint").as("n_segments"))
   }
@@ -145,9 +152,12 @@ object StreamingJobs {
       .filter(col("sr_hz") > 0 && expr("CAST(sr_hz AS BIGINT) * dur_ms >= 1000"))
       .withColumn("event_time", col("event_time").cast("timestamp"))
       .withColumn("bytes", pcm_synth(clipFreq(col("event_id")), col("sr_hz"), col("dur_ms"), col("codec")))
+      // window fused into the Goertzel pass (7-arg form, shared window
+      // definition) — same fingerprint as the batch dedup_audio_fp path
       .withColumn("fp_hz", round(pcm_dominant_freq(
-        analysisWindow(col("bytes"), col("codec"), col("sr_hz")),
-        lit("pcm_s16le"), col("sr_hz"), lit(220.0), lit(55.0), lit(16))).cast("bigint"))
+        col("bytes"), col("codec"), col("sr_hz"),
+        lit(220.0), lit(55.0), lit(16),
+        analysisWindowSamples(col("sr_hz")))).cast("bigint"))
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("fp_hz", "sr_hz", "dur_ms")
       .drop("bytes")

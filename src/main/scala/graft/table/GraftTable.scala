@@ -193,6 +193,23 @@ final class GraftTable(val root: String, checkpointInterval: Int = 64,
     // without REPLACE: a concurrent creator winning the race is fine.
     val vf = p("VERSION")
     if (!Files.exists(vf)) {
+      // Same lost-pointer check as gcOrphansLocked, applied BEFORE the
+      // marker exists: snapshot nodes on disk with no pointer is a partial
+      // restore (or a pointer-losing copy), not a fresh table — stamping
+      // VERSION=0 here would silently re-arm gcOrphans to delete every
+      // live snapshot/manifest/data file above v0. Refuse instead; only a
+      // truly empty table (no v*.json nodes) may materialize the marker.
+      val snaps = p("snapshots")
+      if (Files.exists(snaps)) {
+        val s = Files.list(snaps)
+        val hasNodes =
+          try s.iterator().asScala.exists(_.getFileName.toString.matches("v\\d+\\.json"))
+          finally s.close()
+        if (hasNodes) throw new IllegalStateException(
+          s"refusing to stamp VERSION=0 for $root: snapshot nodes exist under " +
+            "snapshots/ but the VERSION pointer object is missing (partial " +
+            "restore?). Restore VERSION before writing to this table.")
+      }
       Files.createDirectories(vf.getParent)
       val tmp = vf.resolveSibling("VERSION.zero.tmp")
       Files.write(tmp, "0".getBytes(StandardCharsets.UTF_8))

@@ -228,6 +228,54 @@ class PcmSpec extends AnyFunSuite {
       assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
     }
+    // empty-array parity (ADVICE r5): array_max over zero elements is NULL
+    // — a zero-sample clip must not report a fake 0.0 peak. Both the
+    // interpreted eval and the codegen path must agree.
+    val empty = Seq(Tuple1(Array.empty[Float])).toDF("pcm")
+      .select(expr("peak_f(pcm)").as("fast"),
+        expr("array_max(transform(pcm, x -> abs(CAST(x AS DOUBLE))))").as("ref"))
+      .collect()(0)
+    assert(empty.isNullAt(0) && empty.isNullAt(1),
+      s"peak_f of an empty array must be NULL like its HOF reference: $empty")
+  }
+
+  test("pcm_clip_ratio 4-arg: fused gain is bit-identical to the pcm_gain two-step") {
+    // the mm_clip_detect overdrive screen — the fused form must reproduce
+    // clipRatio(gain(bytes, codec, g), 'pcm_s16le', t) EXACTLY over the
+    // whole reachable fixture grid (both codecs) and several gains,
+    // including saturating ones
+    (0L until 80L).foreach { eid =>
+      val freq = 220.0 + (eid % 16) * 55.0
+      val sr = (eid % 10) match {
+        case 7 => 8000; case 8 => 44100; case 9 => 48000; case _ => 16000
+      }
+      val dur = (200 + (eid % 10) * 100).toInt
+      val codec = if (eid % 2 == 0) "pcm_s16le" else "wav"
+      val bytes = PcmCodec.synth(freq, sr, dur, codec)
+      Seq(0, 500, 1000, 2250, 3000).foreach { g =>
+        val twoStep = PcmCodec.clipRatio(
+          PcmCodec.gain(bytes, codec, g), "pcm_s16le", 999)
+        val fused = PcmCodec.clipRatioGained(bytes, codec, 999, g)
+        assert(java.lang.Double.doubleToLongBits(twoStep.doubleValue) ==
+          java.lang.Double.doubleToLongBits(fused.doubleValue),
+          s"eid=$eid codec=$codec g=$g: two-step=$twoStep fused=$fused")
+      }
+    }
+    // null/edge contracts mirror the two-step chain
+    assert(PcmCodec.clipRatioGained(Array[Byte](1, 2), "opus-stub", 999, 3000) == null)
+    assert(PcmCodec.clipRatioGained(Array[Byte](1, 2), "pcm_s16le", 0, 3000) == null)
+    assert(PcmCodec.clipRatioGained(Array[Byte](1, 2), "pcm_s16le", 999, -1) == null)
+    assert(PcmCodec.clipRatioGained(Array.emptyByteArray, "pcm_s16le", 999, 3000).doubleValue == 0.0)
+    // codegen path through a DataFrame plan + SQL registration
+    val s = spark
+    AudioFunctions.register(s)
+    val r = s.sql(
+      """SELECT pcm_clip_ratio(b, 'pcm_s16le', 999, 3000) AS fused,
+        |       pcm_clip_ratio(pcm_gain(b, 'pcm_s16le', 3000), 'pcm_s16le', 999) AS twostep
+        |FROM (SELECT pcm_synth(440.0, 16000, 100, 'pcm_s16le') AS b)""".stripMargin)
+      .collect()(0)
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
   }
 
   test("pcm_segments: VAD-lite boundaries, silence handling, codegen path") {
@@ -382,8 +430,28 @@ class PcmSpec extends AnyFunSuite {
         val win = java.util.Arrays.copyOfRange(r, 0, math.min(r.length, srG / 2))
         assert(PcmCodec.dominantFreq(win, "pcm_s16le", srG, 220.0, 55.0, 16)
           .doubleValue == freq, s"grid fingerprint flip: eid=$eid g=$g sr=$srG dur=$dur")
+        // the r6 FUSED form (window + gain inside the one Goertzel pass —
+        // what dedup_audio_fp ships) must agree with the builder chain
+        // above on the whole grid
+        assert(PcmCodec.dominantFreqWindowed(bytes, codec, srG, 220.0, 55.0, 16,
+          srG / 4, g).doubleValue == freq,
+          s"fused fingerprint flip: eid=$eid g=$g sr=$srG dur=$dur")
       }
+      // gain-free window parity (mm_dominant_freq / audioDedupStream form):
+      // fused 7-arg == slice-then-scan builder chain, bit-identical winner
+      val winBytes = (srG / 2.0).toInt
+      val raw = PcmCodec.gain(bytes, codec, 1000) // identity gain strips container
+      val sliced = java.util.Arrays.copyOfRange(raw, 0, math.min(raw.length, winBytes))
+      assert(PcmCodec.dominantFreqWindowed(bytes, codec, srG, 220.0, 55.0, 16,
+        srG / 4, 1000).doubleValue ==
+        PcmCodec.dominantFreq(sliced, "pcm_s16le", srG, 220.0, 55.0, 16).doubleValue,
+        s"gain-free fused window drift: eid=$eid sr=$srG dur=$dur")
     }
+    // fused-form null contracts mirror the builder chain
+    assert(PcmCodec.dominantFreqWindowed(Array[Byte](1, 2), "pcm_s16le",
+      16000, 220.0, 55.0, 16, 0, 1000) == null, "non-positive window must null")
+    assert(PcmCodec.dominantFreqWindowed(Array[Byte](1, 2), "pcm_s16le",
+      16000, 220.0, 55.0, 16, 4000, -1) == null, "negative gain must null")
   }
 
   test("pcm_gain / pcm_clip_ratio / pcm_dominant_freq through a DataFrame plan (codegen)") {

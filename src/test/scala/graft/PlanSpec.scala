@@ -67,8 +67,16 @@ class PlanSpec extends AnyFunSuite {
       s"missing map-side partial HASH aggregate:\n$plan")
     assert(!plan.contains("SortAggregate"),
       s"string agg buffer degraded the plan to SortAggregate:\n$plan")
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+    // exactly one exchange on the FINGERPRINT key (the partial/final agg
+    // split); the r6 scale-adaptive spread adds at most one extra
+    // REPARTITION_BY_NUM exchange of small metadata rows below the synth
+    // (only when the scan is narrower than the session parallelism — a
+    // no-op at real scale), so pin the agg exchange by its key instead of
+    // a bare count
+    assert("Exchange hashpartitioning\\(fp_hz".r.findAllIn(plan).size == 1,
       s"expected exactly one exchange on the fingerprint key:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"unexpected extra exchanges in the fingerprint plan:\n$plan")
   }
 
   test("tumbling window: partial+final hash aggregation") {
