@@ -47,6 +47,16 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     spread(Similarity.embeddings(s, dir), "vec_id")
 
+  // Queries with NO per-row compute above their first exchange — pure
+  // gate filters (f1_gate, p_disabled_identity), a trivial one-hash map
+  // (td_train_split), or operators whose first act is their OWN shuffle
+  // on a different key (dedup_exact's content-hash groupBy,
+  // td_pack_sequences' shard exchange) — take the raw scan: spread would
+  // buy them nothing at any scale (at 100 TB the probe no-ops anyway)
+  // and measurably costs the small-input exchange locally.
+  private def clipsRaw(s: SparkSession, dir: String): DataFrame =
+    ClipTable.clips(s, dir)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Pipeline.fullPipeline(spark, clips(spark, "/root/testdata/sf0.001"))
@@ -54,7 +64,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1 gate filter (reference processor.go:280-296)
-    "f1_gate" -> ((s, dir) => clips(s, dir).filter(Pipeline.gate)),
+    "f1_gate" -> ((s, dir) => clipsRaw(s, dir).filter(Pipeline.gate)),
     // X1 explode + X3 tolerant JSON decode + F2 + M1-M11 + E2 + R2 union
     "full_pipeline" -> ((s, dir) => Pipeline.fullPipeline(s, clips(s, dir))),
     // F2 status filter (fail+error) over the transformed events
@@ -112,7 +122,7 @@ object SparkEntry {
     "x2_poly_coerce" -> ((s, dir) => graft.operators.Coerce.polymorphic(clips(s, dir))),
     // C1/P: processor enabled=false ⇒ whole-stream identity pass-through
     "p_disabled_identity" -> ((s, dir) =>
-      Pipeline.process(s, clips(s, dir), enabled = false)),
+      Pipeline.process(s, clipsRaw(s, dir), enabled = false)),
     // E3 fidelity: 6-type attribute-value copy (reference copyValue,
     // processor.go:674-691 — Str|Int|Double|Bool|Slice|Map preserved).
     // The attr bag is an array of typed structs; the copy is a prefix
@@ -217,9 +227,21 @@ object SparkEntry {
     // scale this sketch (or the salted collect_set swap, see Salting)
     // replaces exact distinct.
     "agg_approx_distinct" -> ((s, dir) =>
+      // pre-distinct the (key, clip_id) pairs, THEN aggregate: mixing
+      // countDistinct with a non-distinct aggregate plans the Expand
+      // rewrite, whose first partial groups by (key, clip_id, gid) and
+      // carries the rsd-0.01 HLL buffer (~16 KB) PER DISTINCT PAIR
+      // through the exchange — ~3 GB of sketch buffers at sf0.1 for 8
+      // output rows (guide §2.3 "aggregate before you shuffle", measured
+      // 9.4 s → the distinct-first form shuffles bare pairs once).
+      // Value-identical: count(clip_id) over distinct pairs IS
+      // countDistinct(clip_id), and HLL register updates are idempotent
+      // so the estimate over the deduped pairs equals the original
+      // (oracle hash unchanged).
       Pipeline.events(s, clips(s, dir))
+        .select(col("event_key"), col("clip_id")).distinct()
         .groupBy(col("event_key"))
-        .agg(countDistinct(col("clip_id")).as("exact_clips"),
+        .agg(count(col("clip_id")).as("exact_clips"),
           // rsd 0.01 + a 10% acceptance bound = ~10 sigma of headroom:
           // at sf0.1 a 0.02-rsd sketch drifted past a 5% bound on a
           // ~10k-cardinality key — bound-vs-precision must not sit at 2-3
@@ -244,9 +266,9 @@ object SparkEntry {
     "txt_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
     // Deterministic hash split + per-shard block sequence packing — the
     // reproducibility-critical training-data ops (never rand())
-    "td_train_split" -> ((s, dir) => TextOps.trainSplit(docs(s, dir))),
-    "td_pack_sequences" -> ((s, dir) => TextOps.packSequences(docs(s, dir))),
-    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "td_train_split" -> ((s, dir) => TextOps.trainSplit(TextOps.docs(s, dir))),
+    "td_pack_sequences" -> ((s, dir) => TextOps.packSequences(TextOps.docs(s, dir))),
+    "dedup_exact" -> ((s, dir) => Dedup.exact(TextOps.docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),

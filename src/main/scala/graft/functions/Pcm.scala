@@ -68,11 +68,38 @@ object PcmCodec {
     out.array()
   }
 
+  /** Fused sine→s16 quantization: byte-identical to
+    * `toPcm16(sine(freqHz, srHz, durMs))` (same rotation recurrence, same
+    * float truncation, same round/clamp — PcmSpec-pinned) without the
+    * intermediate float[] — at sf0.1 the two-step form allocated ~6 GB of
+    * floats per audio-query pass whose only purpose was to be quantized
+    * and discarded, and that garbage was the cross-query GC debt the
+    * in-suite timings kept paying. */
+  private def synthPcm16(freqHz: Double, srHz: Int, durMs: Int): Array[Byte] = {
+    val n = sampleCount(srHz, durMs)
+    val out = new Array[Byte](2 * n)
+    val w = 2.0 * math.Pi * freqHz / srHz
+    val cw = math.cos(w); val sw = math.sin(w)
+    var re = 1.0; var im = 0.0 // e^{i·w·0}
+    var i = 0
+    while (i < n) {
+      val f = (0.5 * im).toFloat
+      val s = math.max(-32768, math.min(32767, math.round(f * 32767f))).toShort
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      val nr = re * cw - im * sw
+      im = re * sw + im * cw
+      re = nr
+      i += 1
+    }
+    out
+  }
+
   /** Deterministic clip bytes per FIXTURES §1; null for unsupported codec. */
   def synth(freqHz: Double, srHz: Int, durMs: Int, codec: String): Array[Byte] =
     codec match {
-      case "pcm_s16le" => toPcm16(sine(freqHz, srHz, durMs))
-      case "wav"       => wrapWav(toPcm16(sine(freqHz, srHz, durMs)), srHz)
+      case "pcm_s16le" => synthPcm16(freqHz, srHz, durMs)
+      case "wav"       => wrapWav(synthPcm16(freqHz, srHz, durMs), srHz)
       case _           => null
     }
 

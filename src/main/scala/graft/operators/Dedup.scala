@@ -306,7 +306,14 @@ WHERE (1000 * common) // (sa.sz + sb.sz - common) >= $minX1000"""
     val mins = (0 until 8).map(h =>
       min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"mh$h")) :+
       count(lit(1)).as("sz")
-    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // pinned: the signature subtree (8 md5s per shingle row + a string-min
+    // SortAggregate) feeds THREE consumers — both sides of the band
+    // self-join and the sizes join of jaccardScored — and exchange reuse
+    // cannot deduplicate across a broadcast side and a streamed side, so
+    // uncached it executed per consumer (measured: the dominant and
+    // highest-variance cost of the whole query). ~1 tiny row per doc;
+    // released with the shingle cache by releaseCaches.
+    val sig = pinDf(sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*))
     val bandKeys = array((0 until 4).map(b =>
       md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)
     val bands = sig

@@ -341,6 +341,25 @@ class PcmSpec extends AnyFunSuite {
     assert(PcmCodec.segments(sine, "pcm_s16le", sr, 20, 100).toSeq == Seq(0L, 1000L))
   }
 
+  test("fused synth is byte-identical to toPcm16(sine(...)) over the fixture grid") {
+    // r6 fuses quantization into the rotation loop (no intermediate
+    // float[]); the two-step reference form must stay bit-exact
+    (0L until 80L).foreach { eid =>
+      val freq = 220.0 + (eid % 16) * 55.0
+      val sr = (eid % 10) match {
+        case 7 => 8000; case 8 => 44100; case 9 => 48000; case _ => 16000
+      }
+      val dur = (200 + (eid % 10) * 100).toInt
+      val fused = PcmCodec.synth(freq, sr, dur, "pcm_s16le")
+      val twoStep = PcmCodec.toPcm16(PcmCodec.sine(freq, sr, dur))
+      assert(java.util.Arrays.equals(fused, twoStep),
+        s"fused synth drifted from the two-step reference: eid=$eid sr=$sr dur=$dur")
+      val wav = PcmCodec.synth(freq, sr, dur, "wav")
+      assert(java.util.Arrays.equals(wav, PcmCodec.wrapWav(twoStep, sr)),
+        s"fused wav synth drifted: eid=$eid")
+    }
+  }
+
   test("pcm_gain / pcm_clip_ratio / pcm_dominant_freq: fixture-grid sweep pins the oracle bands") {
     // event_id mod 80 covers every reachable (sr, dur, freq) combination
     // of the fixture rules (sr/dur keyed by eid%10, freq by eid%16) — the
