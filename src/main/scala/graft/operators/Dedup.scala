@@ -60,9 +60,13 @@ object Dedup {
   private def shingleRows(d: DataFrame): DataFrame = pinDf(shinglesOf(d))
 
   /** Unpersist every shingle relation pinned since the last release. Call
-    * after the dedup query's action completes (Verify/Bench do). */
+    * after the dedup query's action completes (Verify/Bench do).
+    * BLOCKING on purpose: the async form returned while executors were
+    * still dropping blocks, so the cleanup (and the memory pressure of
+    * the lingering blocks) bled into whatever query ran next — each
+    * query should pay for its own caches inside its own timed region. */
   def releaseCaches(): Unit = pinned.synchronized {
-    pinned.foreach(_.unpersist(blocking = false))
+    pinned.foreach(_.unpersist(blocking = true))
     pinned.clear()
   }
 
