@@ -43,6 +43,11 @@ object BenchExtra {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Locale.ROOT formatting throughout: the f-interpolator uses the JVM
+    // default locale, and a comma-decimal locale would print unparseable
+    // JSON ("1,234") — machine-readable output must be locale-stable.
+    def fmt(t: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val out = names.map { name =>
       val fn = SparkEntry.queries(name)
       explainDir.foreach { d =>
@@ -55,17 +60,24 @@ object BenchExtra {
       val ts = (1 to repeats).map { _ =>
         spark.sparkContext.setJobDescription(s"bench-extra: $name")
         val t0 = System.nanoTime()
+        // a failed query must NOT masquerade as a fast one: record it,
+        // and surface the failure in both stderr and the JSON (unlike
+        // the frozen Bench, this diagnostic main can afford to be loud)
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench-extra] $name FAILED: ${e.getMessage}")
+        }
         finally graft.operators.Dedup.releaseCaches()
         (System.nanoTime() - t0) / 1e9
       }
-      System.err.println(f"[bench-extra] $name%-28s ${ts.map(t => f"$t%.3f").mkString(" ")}")
+      System.err.println(s"[bench-extra] ${name.padTo(28, ' ')} ${ts.map(fmt).mkString(" ")}")
       name -> ts
     }
     val json = out.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
-    }.mkString("{\"queries_extra\":{", ",", s"},\"sf\":\"$sfDir\",\"cpus\":$cpus}")
+      "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{\"queries_extra\":{", ",",
+      s"""},"failed":[${failed.distinct.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir","cpus":$cpus}""")
     println(json)
     spark.stop()
   }

@@ -28,14 +28,41 @@ object SparkEntry {
     * (deterministic, skew-free; never rand()). Scale-adaptive, not a
     * local[32] constant: the target is defaultParallelism (the local[N]
     * width locally, total executor cores on a cluster) and the probe makes
-    * it a NO-OP whenever the scan already plans at least that many
-    * partitions — a 100 TB input with real splits adds no exchange. The
-    * explicit partition count keeps AQE from coalescing the small-byte
-    * exchange back to one partition. */
+    * it a NO-OP whenever the input already carries at least that many
+    * DATA-BEARING units — a 100 TB input with real splits adds no
+    * exchange. The explicit partition count keeps AQE from coalescing the
+    * small-byte exchange back to one partition.
+    *
+    * The probe counts files, and only when files are few, ROW GROUPS from
+    * their footers — never planned byte-range splits: Spark plans splits
+    * by bytes and assigns a row group to the split containing its
+    * midpoint, so a large single-row-group file can "plan" `want` splits
+    * of which all but one are EMPTY (getNumPartitions would claim
+    * parallelism that does not exist and silently disable the fix — the
+    * r6 review catch). Footer reads are bounded: none at all when the
+    * file count already reaches the target, and early-exit once enough
+    * row groups are seen. */
   private def spread(df: DataFrame, key: String): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= want) df
-    else df.repartition(want, col(key))
+    val files = df.inputFiles
+    val enough =
+      if (files.length >= want) true
+      else {
+        // few files: the splittable unit is the row group — count them
+        // from footers (≤ files.length reads, early exit at `want`)
+        val conf = df.sparkSession.sessionState.newHadoopConf()
+        var units = 0
+        val it = files.iterator
+        while (units < want && it.hasNext) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(it.next()), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try units += reader.getRowGroups.size()
+          finally reader.close()
+        }
+        units >= want
+      }
+    if (enough) df else df.repartition(want, col(key))
   }
 
   private def clips(s: SparkSession, dir: String): DataFrame =

@@ -53,6 +53,30 @@ class PlanSpec extends AnyFunSuite {
       s"missing map-side partial aggregate:\n$plan")
   }
 
+  test("SHIPPED full_pipeline: single scan, no join, only the spread exchange") {
+    // the Pipeline-level pins above prove the operator itself is map-only;
+    // this pins the plan the bench/driver actually runs (SparkEntry adds
+    // the scale-adaptive spread — at most ONE metadata repartition, and
+    // nothing else may creep in)
+    val plan = planOf(graft.SparkEntry.queries("full_pipeline")(spark, sf))
+    assert("FileScan|BatchScan".r.findAllIn(plan).size == 1,
+      s"expected exactly one source scan:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in the shipped pipeline:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"more than the one spread exchange in the shipped map-only plan:\n$plan")
+  }
+
+  test("SHIPPED a1_counters: single scan, no join, spread + ONE agg split") {
+    val plan = planOf(graft.SparkEntry.queries("a1_counters")(spark, sf))
+    assert("FileScan|BatchScan".r.findAllIn(plan).size == 1,
+      s"expected exactly one source scan:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join-back in shipped counters:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"missing map-side partial aggregate:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"only the spread repartition may hash-exchange (the agg split is single-partition):\n$plan")
+  }
+
   test("dedup_audio_fp: single scan, partial+final agg, ONE narrow-key exchange") {
     val plan = planOf(graft.SparkEntry.queries("dedup_audio_fp")(spark, sf))
     assert("FileScan|BatchScan".r.findAllIn(plan).size == 1,
